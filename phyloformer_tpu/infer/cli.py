@@ -1,0 +1,118 @@
+"""Inference CLI — evolutionary distances (and optional NJ trees) from MSAs.
+
+Drop-in surface for the reference CLI
+(`/root/reference/infer_alns.py:41-60`):
+
+    pf-infer <weights.ckpt> <alndir> -o <outdir> [--trees]
+
+plus TPU-era extensions: batched bucketed execution, precision control, and a
+throughput report.  Accepts both reference PyTorch ``.ckpt`` files and our
+Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from glob import glob
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="pf-infer",
+        description="Infer evolutionary distances with Phyloformer-TPU",
+    )
+    parser.add_argument("weights", help="model checkpoint (.ckpt torch zip or orbax dir)")
+    parser.add_argument("alndir", help="directory containing .fa/.fasta alignments")
+    parser.add_argument("--outdir", "-o", default=None,
+                        help="output directory for .phy distance matrices")
+    parser.add_argument("--trees", "-t", action="store_true",
+                        help="also write NJ trees (<stem>.nj.nwk)")
+    parser.add_argument("--precision", choices=["float32", "bfloat16"],
+                        default="float32", help="compute precision")
+    parser.add_argument("--batch-tokens", type=int, default=1 << 24,
+                        help="max pair-site tokens per device batch")
+    parser.add_argument("--max-batch-size", type=int, default=64)
+    parser.add_argument("--no-bucketing", action="store_true",
+                        help="run every alignment at its exact shape (recompiles per shape)")
+    parser.add_argument("--stats", action="store_true", help="print timing stats JSON")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..data.fasta import has_fasta_ext, read_fasta
+    from ..data.phylip import vec_to_phylip
+    from ..infer.engine import InferenceConfig, InferenceEngine
+    from ..io.ckpt_import import load_pretrained
+
+    in_dir = os.path.abspath(args.alndir)
+    out_dir = os.path.abspath(args.outdir) if args.outdir else os.path.join(in_dir, "predictions")
+    os.makedirs(out_dir, exist_ok=True)
+
+    t0 = time.perf_counter()
+    params, cfg, _ = load_pretrained(args.weights)
+    load_s = time.perf_counter() - t0
+
+    paths = sorted(glob(os.path.join(in_dir, "*")))
+    paths = [p for p in paths if os.path.isfile(p)]
+    for p in paths:
+        if not has_fasta_ext(p):
+            raise ValueError(
+                f"Input files must be fasta files (.fa or .fasta). Got {p}"
+            )
+    if not paths:
+        print(f"no alignments found in {in_dir}", file=sys.stderr)
+        return 1
+
+    alns = [read_fasta(p) for p in paths]
+
+    icfg = InferenceConfig(
+        max_batch_tokens=args.batch_tokens,
+        max_batch_size=args.max_batch_size,
+        precision=args.precision,
+    )
+    if args.no_bucketing:
+        icfg = InferenceConfig(
+            n_buckets=(), l_buckets=(), allow_oversize=True,
+            max_batch_tokens=args.batch_tokens, precision=args.precision,
+        )
+    engine = InferenceEngine(params, cfg, icfg)
+
+    t1 = time.perf_counter()
+    preds = engine.predict(alns)
+    infer_s = time.perf_counter() - t1
+
+    for path, aln, vec in zip(paths, alns, preds):
+        stem = Path(path).stem
+        dm, phylip = vec_to_phylip(vec, aln.ids)
+        with open(os.path.join(out_dir, f"{stem}.phy"), "w") as fh:
+            fh.write(phylip)
+        if args.trees:
+            from ..trees.nj import neighbor_joining
+
+            tree = neighbor_joining(dm.astype(np.float64), aln.ids)
+            with open(os.path.join(out_dir, f"{stem}.nj.nwk"), "w") as fh:
+                fh.write(tree.to_newick() + "\n")
+
+    if args.stats:
+        stats = dict(engine.stats)
+        stats.update(
+            model_load_s=round(load_s, 4),
+            total_infer_s=round(infer_s, 4),
+            alignments=len(alns),
+            alignments_per_s=round(len(alns) / infer_s, 4) if infer_s else None,
+        )
+        print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

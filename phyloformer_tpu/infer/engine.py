@@ -1,0 +1,159 @@
+"""Batched, bucketed TPU inference engine.
+
+Fixes the reference's two structural throughput limits
+(`/root/reference/infer_alns.py:95-112`): serial batch=1 execution and a
+recompile (torch reshape) for every new alignment shape.  Here alignments are
+padded into a small set of (n, L) buckets (masked so padding is an exact
+no-op — see :mod:`phyloformer_tpu.ops.attention`), batched under a token
+budget, and run through one jitted forward per bucket shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.fasta import Alignment
+from ..data.pairs import n_pairs, pair_indices
+from ..models.params import Params, PhyloformerConfig
+from ..models.phyloformer import forward
+
+DEFAULT_N_BUCKETS = (10, 20, 30, 40, 50, 60, 80, 100, 120, 150, 200)
+DEFAULT_L_BUCKETS = (128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048)
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    n_buckets: Tuple[int, ...] = DEFAULT_N_BUCKETS
+    l_buckets: Tuple[int, ...] = DEFAULT_L_BUCKETS
+    # Max activation tokens (B * P * L) per device batch; bounds HBM use.
+    # 2^24 tokens * 64 ch * 4 B = 4 GiB of fp32 activations per layer tensor.
+    max_batch_tokens: int = 1 << 24
+    max_batch_size: int = 64
+    precision: str = "float32"  # "float32" | "bfloat16"
+    allow_oversize: bool = True  # n/L beyond last bucket: exact-shape fallback
+
+
+def _bucketize(value: int, buckets: Sequence[int], allow_oversize: bool) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    if allow_oversize:
+        return value
+    raise ValueError(f"value {value} exceeds largest bucket {buckets[-1]}")
+
+
+def real_pair_selector(pad_n: int, n: int) -> np.ndarray:
+    """Indices into the padded pair axis that correspond to real pairs,
+    in the real upper-triangle order."""
+    i_idx, j_idx = pair_indices(pad_n)
+    return np.nonzero((i_idx < n) & (j_idx < n))[0]
+
+
+class InferenceEngine:
+    """Runs Phyloformer forward passes over many alignments efficiently."""
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: PhyloformerConfig,
+        icfg: Optional[InferenceConfig] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self._jnp = jnp
+        self.cfg = cfg
+        self.icfg = icfg or InferenceConfig()
+        if self.icfg.precision == "bfloat16":
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else x,
+                params,
+            )
+        self.params = jax.device_put(params)
+        self._compiled: Dict[Tuple[int, int], object] = {}
+        self.stats = {"compile_s": 0.0, "device_s": 0.0, "batches": 0, "alignments": 0}
+
+    # -- compilation ---------------------------------------------------------
+    def _fn_for(self, pad_n: int, pad_l: int):
+        key = (pad_n, pad_l)
+        fn = self._compiled.get(key)
+        if fn is None:
+            jax, cfg = self._jax, self.cfg
+
+            def run(params, codes, site_mask, seq_mask):
+                out = forward(
+                    params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask
+                )
+                return out.astype(self._jnp.float32)
+
+            fn = jax.jit(run)
+            self._compiled[key] = fn
+        return fn
+
+    # -- batching ------------------------------------------------------------
+    def _plan(self, alns: Sequence[Alignment]):
+        """Group alignment indices into (pad_n, pad_l) buckets, then chunk into
+        batches respecting the token budget."""
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for idx, a in enumerate(alns):
+            pad_n = _bucketize(a.n_seqs, self.icfg.n_buckets, self.icfg.allow_oversize)
+            pad_l = _bucketize(a.seq_len, self.icfg.l_buckets, self.icfg.allow_oversize)
+            groups.setdefault((pad_n, pad_l), []).append(idx)
+
+        batches = []
+        for (pad_n, pad_l), idxs in sorted(groups.items()):
+            tokens_per = n_pairs(pad_n) * pad_l
+            bsz = max(1, min(self.icfg.max_batch_size, self.icfg.max_batch_tokens // max(tokens_per, 1)))
+            for start in range(0, len(idxs), bsz):
+                batches.append(((pad_n, pad_l), idxs[start : start + bsz]))
+        return batches
+
+    def predict(self, alns: Sequence[Alignment]) -> List[np.ndarray]:
+        """Predict distance vectors for every alignment.
+
+        Returns one float32 array of shape ``(C(n_i, 2),)`` per input, in
+        input order.
+        """
+        jnp = self._jnp
+        out: List[Optional[np.ndarray]] = [None] * len(alns)
+        for (pad_n, pad_l), idxs in self._plan(alns):
+            bsz = len(idxs)
+            codes = np.zeros((bsz, pad_n, pad_l), dtype=np.int32)
+            site_mask = np.zeros((bsz, pad_l), dtype=bool)
+            seq_mask = np.zeros((bsz, pad_n), dtype=bool)
+            for row, idx in enumerate(idxs):
+                a = alns[idx]
+                codes[row, : a.n_seqs, : a.seq_len] = a.codes
+                site_mask[row, : a.seq_len] = True
+                seq_mask[row, : a.n_seqs] = True
+
+            fn = self._fn_for(pad_n, pad_l)
+            t0 = time.perf_counter()
+            preds = fn(
+                self.params, jnp.asarray(codes), jnp.asarray(site_mask), jnp.asarray(seq_mask)
+            )
+            preds.block_until_ready()
+            elapsed = time.perf_counter() - t0
+            if self.stats["batches"] == 0:
+                self.stats["compile_s"] += elapsed
+            else:
+                self.stats["device_s"] += elapsed
+            self.stats["batches"] += 1
+            self.stats["alignments"] += bsz
+
+            preds = np.asarray(preds)
+            for row, idx in enumerate(idxs):
+                n = alns[idx].n_seqs
+                sel = real_pair_selector(pad_n, n)
+                out[idx] = preds[row, sel].astype(np.float32)
+        return out  # type: ignore[return-value]
+
+    def predict_one(self, aln: Alignment) -> np.ndarray:
+        return self.predict([aln])[0]

@@ -7,11 +7,21 @@ Must run before the first `import jax` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) imports jax at
+# interpreter startup, so env vars like JAX_PLATFORMS/XLA_FLAGS are already
+# frozen; jax.config updates still work.  Select an 8-device virtual CPU mesh.
+# Subprocesses spawned by tests (CLI integration tests) get the cleaned env.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # stops sitecustomize TPU grab in children
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
