@@ -1,0 +1,893 @@
+#include "pftree.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <functional>
+#include <limits>
+#include <sstream>
+#include <stdexcept>
+
+namespace pftree {
+
+// ---------------------------------------------------------------------------
+// Newick
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PNode {
+  std::string name;
+  double len = std::numeric_limits<double>::quiet_NaN();
+  std::vector<std::unique_ptr<PNode>> children;
+};
+
+struct Parser {
+  const std::string& s;
+  size_t i = 0;
+  explicit Parser(const std::string& text) : s(text) {}
+
+  void skip_ws() {
+    while (i < s.size()) {
+      if (std::isspace(static_cast<unsigned char>(s[i]))) {
+        ++i;
+      } else if (s[i] == '[') {  // comment
+        size_t j = s.find(']', i + 1);
+        if (j == std::string::npos) throw std::runtime_error("unterminated [comment]");
+        i = j + 1;
+      } else {
+        break;
+      }
+    }
+  }
+
+  std::string label() {
+    skip_ws();
+    std::string out;
+    if (i < s.size() && s[i] == '\'') {
+      ++i;
+      while (i < s.size()) {
+        if (s[i] == '\'') {
+          if (i + 1 < s.size() && s[i + 1] == '\'') {
+            out += '\'';
+            i += 2;
+          } else {
+            ++i;
+            break;
+          }
+        } else {
+          out += s[i++];
+        }
+      }
+      return out;
+    }
+    size_t start = i;
+    while (i < s.size() && std::string("(),:;[").find(s[i]) == std::string::npos) ++i;
+    out = s.substr(start, i - start);
+    while (!out.empty() && std::isspace(static_cast<unsigned char>(out.back()))) out.pop_back();
+    return out;
+  }
+
+  std::unique_ptr<PNode> clade() {
+    skip_ws();
+    auto node = std::make_unique<PNode>();
+    if (i < s.size() && s[i] == '(') {
+      ++i;
+      while (true) {
+        node->children.push_back(clade());
+        skip_ws();
+        if (i < s.size() && s[i] == ',') {
+          ++i;
+          continue;
+        }
+        if (i < s.size() && s[i] == ')') {
+          ++i;
+          break;
+        }
+        throw std::runtime_error("newick: expected ',' or ')'");
+      }
+    }
+    node->name = label();
+    skip_ws();
+    if (i < s.size() && s[i] == ':') {
+      ++i;
+      skip_ws();
+      size_t start = i;
+      while (i < s.size() &&
+             (std::isdigit(static_cast<unsigned char>(s[i])) ||
+              std::string("+-.eE").find(s[i]) != std::string::npos))
+        ++i;
+      node->len = std::stod(s.substr(start, i - start));
+    }
+    return node;
+  }
+};
+
+void collect_leaves(const PNode* p, std::vector<const PNode*>* out) {
+  if (p->children.empty()) {
+    out->push_back(p);
+    return;
+  }
+  for (const auto& c : p->children) collect_leaves(c.get(), out);
+}
+
+}  // namespace
+
+Tree parse_newick(const std::string& text) {
+  Parser parser(text);
+  auto root = parser.clade();
+  parser.skip_ws();
+  if (parser.i < text.size() && text[parser.i] == ';') ++parser.i;
+
+  std::vector<const PNode*> leaves;
+  collect_leaves(root.get(), &leaves);
+
+  Tree t;
+  t.n_leaves = static_cast<int>(leaves.size());
+  t.adj.resize(t.n_leaves);
+  t.leaf_names.resize(t.n_leaves);
+  std::map<const PNode*, int> leaf_id;
+  for (int i = 0; i < t.n_leaves; ++i) {
+    t.leaf_names[i] = leaves[i]->name;
+    leaf_id[leaves[i]] = i;
+  }
+
+  // Recursively connect; returns node id representing this clade.
+  std::function<int(const PNode*)> build = [&](const PNode* p) -> int {
+    if (p->children.empty()) return leaf_id[p];
+    int me = t.new_node();
+    for (const auto& c : p->children) {
+      int cid = build(c.get());
+      double len = std::isnan(c->len) ? 0.0 : c->len;
+      t.add_edge(me, cid, len);
+    }
+    return me;
+  };
+  int root_id = build(root.get());
+
+  // Suppress a degree-2 root (rooted newick of an unrooted tree).
+  if (t.adj[root_id].size() == 2) {
+    int e0 = t.adj[root_id][0], e1 = t.adj[root_id][1];
+    int a = t.other(e0, root_id), b = t.other(e1, root_id);
+    double len = t.edges[e0].len + t.edges[e1].len;
+    // rewire e0 to connect a-b, drop e1
+    t.edges[e0] = {a, b, len};
+    t.adj[a].clear();
+    t.adj[b].clear();
+    t.adj[root_id].clear();
+    // rebuild adjacency (simplest correct approach)
+    std::vector<Tree::Edge> kept;
+    for (int e = 0; e < static_cast<int>(t.edges.size()); ++e) {
+      if (e == e1) continue;
+      kept.push_back(t.edges[e]);
+    }
+    t.edges = kept;
+    for (auto& adj : t.adj) adj.clear();
+    for (int e = 0; e < static_cast<int>(t.edges.size()); ++e) {
+      t.adj[t.edges[e].u].push_back(e);
+      t.adj[t.edges[e].v].push_back(e);
+    }
+  }
+  return t;
+}
+
+std::string to_newick(const Tree& t, int root_node) {
+  if (t.n_leaves == 1) return t.leaf_names[0] + ";";
+  if (root_node < 0) {
+    // root at an internal node if any; else at leaf 0's neighbor
+    root_node = t.n_leaves < t.n_nodes() ? t.n_leaves : 0;
+  }
+  std::ostringstream os;
+  os.precision(12);
+  std::function<void(int, int)> rec = [&](int node, int from_edge) {
+    std::vector<std::pair<int, int>> kids;  // (edge, child)
+    for (int e : t.adj[node]) {
+      if (e == from_edge) continue;
+      kids.emplace_back(e, t.other(e, node));
+    }
+    if (kids.empty()) {
+      os << t.leaf_names[node];
+      return;
+    }
+    os << '(';
+    for (size_t k = 0; k < kids.size(); ++k) {
+      if (k) os << ',';
+      rec(kids[k].second, kids[k].first);
+      os << ':' << t.edges[kids[k].first].len;
+    }
+    os << ')';
+    if (node < t.n_leaves) os << t.leaf_names[node];
+  };
+  rec(root_node, -1);
+  os << ';';
+  return os.str();
+}
+
+// ---------------------------------------------------------------------------
+// PHYLIP
+// ---------------------------------------------------------------------------
+
+DistMatrix read_phylip(const std::string& text) {
+  std::istringstream is(text);
+  DistMatrix dm;
+  is >> dm.n;
+  if (dm.n < 2) throw std::runtime_error("phylip: need >= 2 taxa");
+  dm.names.resize(dm.n);
+  dm.d.resize(static_cast<size_t>(dm.n) * dm.n);
+  for (int i = 0; i < dm.n; ++i) {
+    if (!(is >> dm.names[i])) throw std::runtime_error("phylip: truncated");
+    for (int j = 0; j < dm.n; ++j) {
+      if (!(is >> dm.d[i * dm.n + j])) throw std::runtime_error("phylip: truncated row");
+    }
+  }
+  return dm;
+}
+
+// ---------------------------------------------------------------------------
+// Balanced (BME) machinery
+// ---------------------------------------------------------------------------
+//
+// For every *directed* edge d = (tail -> head) define subtree(d) as the
+// component containing head after removing the edge.  For leaves x in that
+// subtree, w_d(x) = 2^-(edge count from head to x).  Then the balanced
+// average distance between two disjoint subtrees A, B is
+// delta(A,B) = sum_{a,b} w_A(a) w_B(b) D(a,b), and Pauplin's balanced tree
+// length assigns each leaf pair weight 2^(1-p_ij).
+//
+// The workhorse arrays (computed by BalancedTables):
+//   w[d][t]  : weight of leaf t in subtree(d) (0 if absent)
+//   dv[d][t] : sum_x w_d(x) D(x, t)  for every leaf t (even outside)
+// giving delta(sub(d1), sub(d2)) = sum_t w[d2][t] * dv[d1][t].
+
+namespace {
+
+struct Directed {
+  int edge;  // undirected edge id
+  int head;  // subtree side
+  int tail;
+};
+
+struct BalancedTables {
+  int n;                               // leaves in the tree
+  std::vector<Directed> dir;           // 2 per edge: 2e (u->v), 2e+1 (v->u)
+  std::vector<std::vector<double>> w;  // [2E][n]
+  std::vector<std::vector<double>> dv; // [2E][n]
+
+  static int fwd(int e) { return 2 * e; }
+  static int rev(int e) { return 2 * e + 1; }
+
+  void compute(const Tree& t, const DistMatrix& dm,
+               const std::vector<int>& leaf_to_dm) {
+    n = dm.n;
+    int ne = static_cast<int>(t.edges.size());
+    dir.assign(2 * ne, {});
+    for (int e = 0; e < ne; ++e) {
+      dir[2 * e] = {e, t.edges[e].v, t.edges[e].u};
+      dir[2 * e + 1] = {e, t.edges[e].u, t.edges[e].v};
+    }
+    w.assign(2 * ne, std::vector<double>(n, 0.0));
+    dv.assign(2 * ne, std::vector<double>(n, 0.0));
+
+    // topological order: process subtree(d) after its children.
+    std::vector<int> order;
+    order.reserve(2 * ne);
+    std::vector<char> done(2 * ne, 0);
+    std::function<void(int)> visit = [&](int d) {
+      if (done[d]) return;
+      done[d] = 2;  // in progress marker unnecessary in a tree
+      int head = dir[d].head;
+      for (int e2 : t.adj[head]) {
+        if (e2 == dir[d].edge) continue;
+        int child = t.edges[e2].v == head ? 2 * e2 : 2 * e2 + 1;
+        // child points away from head
+        int cd = (dir[2 * e2].tail == head) ? 2 * e2 : 2 * e2 + 1;
+        visit(cd);
+        (void)child;
+      }
+      order.push_back(d);
+    };
+    for (int d = 0; d < 2 * ne; ++d) visit(d);
+
+    for (int d : order) {
+      int head = dir[d].head;
+      if (head < t.n_leaves) {
+        int li = leaf_to_dm[head];
+        w[d][li] = 1.0;
+        for (int tt = 0; tt < n; ++tt) dv[d][tt] = dm(li, tt);
+        continue;
+      }
+      // average of children (balanced): 1/2 sum over child subtrees
+      int count = 0;
+      for (int e2 : t.adj[head]) {
+        if (e2 == dir[d].edge) continue;
+        int cd = (dir[2 * e2].tail == head) ? 2 * e2 : 2 * e2 + 1;
+        ++count;
+        for (int tt = 0; tt < n; ++tt) {
+          w[d][tt] += w[cd][tt];
+          dv[d][tt] += dv[cd][tt];
+        }
+      }
+      double f = count > 0 ? 1.0 / count : 0.0;  // binary: 1/2
+      for (int tt = 0; tt < n; ++tt) {
+        w[d][tt] *= f;
+        dv[d][tt] *= f;
+      }
+    }
+  }
+
+  // delta(sub(d1), sub(d2)) — subtrees must be disjoint.
+  double delta(int d1, int d2) const {
+    double s = 0;
+    for (int tt = 0; tt < n; ++tt) s += w[d2][tt] * dv[d1][tt];
+    return s;
+  }
+
+  // delta of the two sides of undirected edge e.
+  double delta_split(int e) const { return delta(fwd(e), rev(e)); }
+
+  // delta(S, sub(d)) for an external leaf-weighted set S given its
+  // distance profile ds[t] = sum_s wS(s) D(s, t).
+  double delta_set(const std::vector<double>& ds, int d) const {
+    double s = 0;
+    for (int tt = 0; tt < n; ++tt) s += w[d][tt] * ds[tt];
+    return s;
+  }
+};
+
+// directed edge at `node` pointing away from it along undirected edge e.
+int away(const Tree& t, int e, int node) {
+  return t.edges[e].u == node ? 2 * e : 2 * e + 1;
+}
+
+}  // namespace
+
+double pauplin_length(const DistMatrix& dm, const Tree& t) {
+  // p_ij via BFS from every leaf (edge counts).
+  int n = t.n_leaves;
+  std::vector<int> leaf_to_dm(t.n_leaves);
+  for (int i = 0; i < t.n_leaves; ++i) {
+    auto it = std::find(dm.names.begin(), dm.names.end(), t.leaf_names[i]);
+    if (it == dm.names.end()) throw std::runtime_error("taxon missing in matrix");
+    leaf_to_dm[i] = static_cast<int>(it - dm.names.begin());
+  }
+  double total = 0;
+  std::vector<int> depth(t.n_nodes());
+  for (int i = 0; i < n; ++i) {
+    std::fill(depth.begin(), depth.end(), -1);
+    std::vector<int> stack{i};
+    depth[i] = 0;
+    while (!stack.empty()) {
+      int u = stack.back();
+      stack.pop_back();
+      for (int e : t.adj[u]) {
+        int v = t.other(e, u);
+        if (depth[v] < 0) {
+          depth[v] = depth[u] + 1;
+          stack.push_back(v);
+        }
+      }
+    }
+    for (int j = i + 1; j < n; ++j)
+      total += std::ldexp(dm(leaf_to_dm[i], leaf_to_dm[j]), 1 - depth[j]);
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// NJ
+// ---------------------------------------------------------------------------
+
+Tree nj_tree(const DistMatrix& dm) {
+  int n = dm.n;
+  Tree t;
+  t.n_leaves = n;
+  t.leaf_names = dm.names;
+  t.adj.resize(n);
+  if (n == 2) {
+    int r = t.new_node();  // degree-2 helper; will print fine
+    t.add_edge(r, 0, dm(0, 1) / 2);
+    t.add_edge(r, 1, dm(0, 1) / 2);
+    return t;
+  }
+
+  std::vector<double> d(dm.d);
+  std::vector<int> node_of(n);
+  std::vector<int> active(n);
+  for (int i = 0; i < n; ++i) node_of[i] = i, active[i] = i;
+
+  auto D = [&](int i, int j) -> double& { return d[i * n + j]; };
+
+  std::vector<int> act(active);
+  while (static_cast<int>(act.size()) > 3) {
+    int m = static_cast<int>(act.size());
+    std::vector<double> tot(m, 0.0);
+    for (int a = 0; a < m; ++a)
+      for (int b = 0; b < m; ++b) tot[a] += D(act[a], act[b]);
+    double best = std::numeric_limits<double>::infinity();
+    int bi = 0, bj = 1;
+    for (int a = 0; a < m; ++a)
+      for (int b = a + 1; b < m; ++b) {
+        double q = (m - 2) * D(act[a], act[b]) - tot[a] - tot[b];
+        if (q < best) best = q, bi = a, bj = b;
+      }
+    int ia = act[bi], ib = act[bj];
+    double dij = D(ia, ib);
+    double la = 0.5 * dij + (tot[bi] - tot[bj]) / (2.0 * (m - 2));
+    double lb = dij - la;
+    la = std::max(la, 0.0);
+    lb = std::max(lb, 0.0);
+    int parent = t.new_node();
+    t.add_edge(parent, node_of[ia], la);
+    t.add_edge(parent, node_of[ib], lb);
+    for (int c = 0; c < m; ++c) {
+      int k = act[c];
+      if (k == ia || k == ib) continue;
+      D(ia, k) = D(k, ia) = 0.5 * (D(ia, k) + D(ib, k) - dij);
+    }
+    node_of[ia] = parent;
+    act.erase(act.begin() + bj);
+  }
+  // join last three at a center node
+  int center = t.new_node();
+  int x = act[0], y = act[1], z = act[2];
+  double lx = 0.5 * (D(x, y) + D(x, z) - D(y, z));
+  double ly = 0.5 * (D(x, y) + D(y, z) - D(x, z));
+  double lz = 0.5 * (D(x, z) + D(y, z) - D(x, y));
+  t.add_edge(center, node_of[x], std::max(lx, 0.0));
+  t.add_edge(center, node_of[y], std::max(ly, 0.0));
+  t.add_edge(center, node_of[z], std::max(lz, 0.0));
+  return t;
+}
+
+// ---------------------------------------------------------------------------
+// BME construction + BNNI + BSPR
+// ---------------------------------------------------------------------------
+
+namespace {
+
+std::vector<int> identity_map(const Tree& t, const DistMatrix& dm) {
+  std::vector<int> map(t.n_leaves);
+  for (int i = 0; i < t.n_leaves; ++i) {
+    auto it = std::find(dm.names.begin(), dm.names.end(), t.leaf_names[i]);
+    if (it == dm.names.end()) throw std::runtime_error("taxon missing in matrix");
+    map[i] = static_cast<int>(it - dm.names.begin());
+  }
+  return map;
+}
+
+// Greedy balanced taxon addition (BME / Desper-Gascuel).
+Tree bme_greedy(const DistMatrix& dm) {
+  int n = dm.n;
+  Tree t;
+  t.n_leaves = n;
+  t.leaf_names = dm.names;
+  t.adj.resize(n);
+  if (n == 2) {
+    int r = t.new_node();
+    t.add_edge(r, 0, 0);
+    t.add_edge(r, 1, 0);
+    return t;
+  }
+  int c = t.new_node();
+  t.add_edge(c, 0, 0);
+  t.add_edge(c, 1, 0);
+  t.add_edge(c, 2, 0);
+
+  std::vector<int> map = identity_map(t, dm);
+  BalancedTables bt;
+  for (int k = 3; k < n; ++k) {
+    bt.compute(t, dm, map);
+    // dk[t] = D(k, t)
+    std::vector<double> dk(n);
+    for (int tt = 0; tt < n; ++tt) dk[tt] = dm(k, tt);
+    double best = std::numeric_limits<double>::infinity();
+    int best_e = -1;
+    for (int e = 0; e < static_cast<int>(t.edges.size()); ++e) {
+      double f = 0.5 * (bt.delta_set(dk, BalancedTables::fwd(e)) +
+                        bt.delta_set(dk, BalancedTables::rev(e)) -
+                        bt.delta_split(e));
+      if (f < best) best = f, best_e = e;
+    }
+    // split best_e, attach leaf k
+    int u = t.edges[best_e].u, v = t.edges[best_e].v;
+    double half = t.edges[best_e].len / 2;
+    int m = t.new_node();
+    t.edges[best_e] = {u, m, half};
+    // fix adjacency of v: replace best_e with new edge m-v
+    auto& av = t.adj[v];
+    av.erase(std::find(av.begin(), av.end(), best_e));
+    t.adj[m].push_back(best_e);
+    t.add_edge(m, v, half);
+    t.add_edge(m, k, 0.0);
+  }
+  return t;
+}
+
+// One balanced-NNI pass: returns true if an improving move was applied.
+bool bnni_step(const DistMatrix& dm, Tree* t, double eps = 1e-12) {
+  std::vector<int> map = identity_map(*t, dm);
+  BalancedTables bt;
+  bt.compute(*t, dm, map);
+  double best_gain = -eps;
+  int best_e = -1, best_swap = 0;
+  for (int e = 0; e < static_cast<int>(t->edges.size()); ++e) {
+    int u = t->edges[e].u, v = t->edges[e].v;
+    if (u < t->n_leaves || v < t->n_leaves) continue;  // internal edges only
+    // subtrees A,B at u; C,D at v (directed away from u/v)
+    std::vector<int> ue, ve;
+    for (int e2 : t->adj[u])
+      if (e2 != e) ue.push_back(away(*t, e2, u));
+    for (int e2 : t->adj[v])
+      if (e2 != e) ve.push_back(away(*t, e2, v));
+    if (ue.size() != 2 || ve.size() != 2) continue;
+    int A = ue[0], B = ue[1], C = ve[0], D = ve[1];
+    double dAB = bt.delta(A, B), dCD = bt.delta(C, D);
+    double dAC = bt.delta(A, C), dBD = bt.delta(B, D);
+    double dAD = bt.delta(A, D), dBC = bt.delta(B, C);
+    // swap B<->C: new config (A,C | B,D):  dL = ((AC+BD) - (AB+CD)) / 4
+    double dl1 = 0.25 * ((dAC + dBD) - (dAB + dCD));
+    // swap B<->D: new config (A,D | C,B):  dL = ((AD+BC) - (AB+CD)) / 4
+    double dl2 = 0.25 * ((dAD + dBC) - (dAB + dCD));
+    if (-dl1 > best_gain) best_gain = -dl1, best_e = e, best_swap = 1;
+    if (-dl2 > best_gain) best_gain = -dl2, best_e = e, best_swap = 2;
+  }
+  if (best_e < 0) return false;
+  // apply: swap subtree edge endpoints
+  int u = t->edges[best_e].u, v = t->edges[best_e].v;
+  std::vector<int> ue, ve;
+  for (int e2 : t->adj[u])
+    if (e2 != best_e) ue.push_back(e2);
+  for (int e2 : t->adj[v])
+    if (e2 != best_e) ve.push_back(e2);
+  int eb = ue[1];  // B side edge at u
+  int ec = best_swap == 1 ? ve[0] : ve[1];
+  // move eb from u to v, ec from v to u
+  auto repoint = [&](int edge, int from, int to) {
+    if (t->edges[edge].u == from)
+      t->edges[edge].u = to;
+    else
+      t->edges[edge].v = to;
+    auto& af = t->adj[from];
+    af.erase(std::find(af.begin(), af.end(), edge));
+    t->adj[to].push_back(edge);
+  };
+  repoint(eb, u, v);
+  repoint(ec, v, u);
+  return true;
+}
+
+// One balanced-SPR sweep: prune every subtree, slide to the best edge.
+// Returns true if an improving move was applied.
+bool bspr_step(const DistMatrix& dm, Tree* t, double eps = 1e-10) {
+  int ne = static_cast<int>(t->edges.size());
+  if (ne < 4) return false;
+  std::vector<int> map = identity_map(*t, dm);
+  BalancedTables bt_full;
+  bt_full.compute(*t, dm, map);
+
+  double best_gain = eps;
+  int best_prune_dir = -1, best_insert_u = -1, best_insert_v = -1;
+
+  for (int d = 0; d < 2 * ne; ++d) {
+    int e = d / 2;
+    int head = d % 2 == 0 ? t->edges[e].v : t->edges[e].u;
+    int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
+    if (tail < t->n_leaves) continue;  // tail must be internal to prune
+    // S = subtree(d) rooted at `head`; prune: remove edge e and suppress tail.
+    // T' = rest. Build T' as a copy.
+    Tree tp;
+    tp.n_leaves = t->n_leaves;
+    tp.leaf_names = t->leaf_names;
+    tp.adj.resize(t->n_nodes());
+    // mark nodes in S via DFS from head avoiding edge e
+    std::vector<char> in_s(t->n_nodes(), 0);
+    {
+      std::vector<int> stack{head};
+      in_s[head] = 1;
+      while (!stack.empty()) {
+        int x = stack.back();
+        stack.pop_back();
+        for (int e2 : t->adj[x]) {
+          if (e2 == e) continue;
+          int y = t->other(e2, x);
+          if (!in_s[y]) in_s[y] = 1, stack.push_back(y);
+        }
+      }
+    }
+    // the two other edges at tail get merged into one
+    std::vector<int> tail_edges;
+    for (int e2 : t->adj[tail])
+      if (e2 != e) tail_edges.push_back(e2);
+    if (tail_edges.size() != 2) continue;
+    int ta = t->other(tail_edges[0], tail);
+    int tb = t->other(tail_edges[1], tail);
+    int merged_u = ta, merged_v = tb;
+    for (int e2 = 0; e2 < ne; ++e2) {
+      if (e2 == e || e2 == tail_edges[0] || e2 == tail_edges[1]) continue;
+      if (in_s[t->edges[e2].u]) continue;  // S-internal edges excluded
+      tp.add_edge(t->edges[e2].u, t->edges[e2].v, t->edges[e2].len);
+    }
+    int merged_edge = tp.add_edge(merged_u, merged_v,
+                                  t->edges[tail_edges[0]].len +
+                                      t->edges[tail_edges[1]].len);
+    // leaves present in T'
+    int n_rest = 0;
+    for (int i = 0; i < t->n_leaves; ++i)
+      if (!in_s[i]) ++n_rest;
+    if (n_rest < 2) continue;
+
+    BalancedTables bt;
+    bt.compute(tp, dm, map);  // absent leaves have zero weight rows
+
+    // distance profile of S with balanced weights from bt_full (w[d])
+    std::vector<double> ds(dm.n, 0.0);
+    for (int tt = 0; tt < dm.n; ++tt) {
+      double s = bt_full.dv[d][tt];
+      ds[tt] = s;
+    }
+
+    // score(f) = 1/2 (delta(S, Xf) + delta(S, Yf) - delta(Xf, Yf))
+    auto score = [&](int f) {
+      return 0.5 * (bt.delta_set(ds, BalancedTables::fwd(f)) +
+                    bt.delta_set(ds, BalancedTables::rev(f)) -
+                    bt.delta_split(f));
+    };
+    double base = score(merged_edge);  // re-inserting at original spot
+    for (int f = 0; f < static_cast<int>(tp.edges.size()); ++f) {
+      double gain = base - score(f);
+      if (gain > best_gain) {
+        best_gain = gain;
+        best_prune_dir = d;
+        best_insert_u = tp.edges[f].u;
+        best_insert_v = tp.edges[f].v;
+      }
+    }
+  }
+
+  if (best_prune_dir < 0) return false;
+
+  // apply: prune S at best_prune_dir, reinsert on edge (best_insert_u, best_insert_v)
+  int d = best_prune_dir;
+  int e = d / 2;
+  int head = d % 2 == 0 ? t->edges[e].v : t->edges[e].u;
+  int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
+  std::vector<int> tail_edges;
+  for (int e2 : t->adj[tail])
+    if (e2 != e) tail_edges.push_back(e2);
+  int ea = tail_edges[0], eb2 = tail_edges[1];
+  int ta = t->other(ea, tail), tb = t->other(eb2, tail);
+  // merge ea to span ta-tb; delete eb2; detach tail except edge e
+  double mlen = t->edges[ea].len + t->edges[eb2].len;
+  if (t->edges[ea].u == tail)
+    t->edges[ea].u = tb;
+  else
+    t->edges[ea].v = tb;
+  t->edges[ea].len = mlen;
+  auto& atail = t->adj[tail];
+  atail.erase(std::find(atail.begin(), atail.end(), ea));
+  atail.erase(std::find(atail.begin(), atail.end(), eb2));
+  t->adj[tb].push_back(ea);
+  auto& atb = t->adj[tb];
+  atb.erase(std::find(atb.begin(), atb.end(), eb2));
+  auto& ata = t->adj[ta];
+  (void)ata;
+  // mark eb2 as dead by making it a self-loop on tail we won't traverse;
+  // we compact edges below.
+  t->edges[eb2] = {-1, -1, 0.0};
+
+  // find the target edge in t (by endpoints) — it is either an original edge
+  // or the merged edge ea
+  int target = -1;
+  for (int f = 0; f < static_cast<int>(t->edges.size()); ++f) {
+    if (t->edges[f].u < 0) continue;
+    if ((t->edges[f].u == best_insert_u && t->edges[f].v == best_insert_v) ||
+        (t->edges[f].u == best_insert_v && t->edges[f].v == best_insert_u)) {
+      target = f;
+      break;
+    }
+  }
+  if (target < 0) {
+    // merged edge endpoints in tp were (merged_u, merged_v) = (ta, tb) -> ea
+    target = ea;
+  }
+  // split target, attach tail (reusing `tail` as the new junction node)
+  int u = t->edges[target].u, v = t->edges[target].v;
+  double half = t->edges[target].len / 2;
+  t->edges[target] = {u, tail, half};
+  auto& av = t->adj[v];
+  av.erase(std::find(av.begin(), av.end(), target));
+  t->adj[tail].push_back(target);
+  // reuse dead edge slot eb2 for the new edge tail-v
+  t->edges[eb2] = {tail, v, half};
+  t->adj[tail].push_back(eb2);
+  t->adj[v].push_back(eb2);
+  return true;
+}
+
+}  // namespace
+
+void assign_balanced_lengths(const DistMatrix& dm, Tree* t) {
+  std::vector<int> map = identity_map(*t, dm);
+  if (t->n_leaves == 2) {
+    // split distance across however many edges exist
+    double total = dm(map[0], map[1]);
+    double per = total / t->edges.size();
+    for (auto& e : t->edges) e.len = per;
+    return;
+  }
+  BalancedTables bt;
+  bt.compute(*t, dm, map);
+  for (int e = 0; e < static_cast<int>(t->edges.size()); ++e) {
+    int u = t->edges[e].u, v = t->edges[e].v;
+    bool u_leaf = u < t->n_leaves, v_leaf = v < t->n_leaves;
+    if (u_leaf || v_leaf) {
+      int leaf = u_leaf ? u : v;
+      int inner = u_leaf ? v : u;
+      std::vector<int> rest;
+      for (int e2 : t->adj[inner])
+        if (e2 != e) rest.push_back(away(*t, e2, inner));
+      if (rest.size() == 2) {
+        double dA = bt.delta(2 * e + (t->edges[e].v == leaf ? 0 : 1), rest[0]);
+        // delta(leaf, A): leaf subtree is the directed edge pointing AT the leaf
+        int dleaf = t->edges[e].v == leaf ? 2 * e : 2 * e + 1;
+        double diA = bt.delta(dleaf, rest[0]);
+        double diB = bt.delta(dleaf, rest[1]);
+        double dABr = bt.delta(rest[0], rest[1]);
+        (void)dA;
+        t->edges[e].len = std::max(0.5 * (diA + diB - dABr), 0.0);
+      }
+    } else {
+      std::vector<int> ue, ve;
+      for (int e2 : t->adj[u])
+        if (e2 != e) ue.push_back(away(*t, e2, u));
+      for (int e2 : t->adj[v])
+        if (e2 != e) ve.push_back(away(*t, e2, v));
+      if (ue.size() == 2 && ve.size() == 2) {
+        double dAC = bt.delta(ue[0], ve[0]), dBD = bt.delta(ue[1], ve[1]);
+        double dAD = bt.delta(ue[0], ve[1]), dBC = bt.delta(ue[1], ve[0]);
+        double dAB = bt.delta(ue[0], ue[1]), dCD = bt.delta(ve[0], ve[1]);
+        t->edges[e].len = std::max(
+            0.5 * ((dAC + dBD + dAD + dBC) / 2 - dAB - dCD), 0.0);
+      }
+    }
+  }
+}
+
+Tree build_tree(const DistMatrix& dm, const std::string& method, bool nni,
+                bool spr) {
+  Tree t = method == "nj" ? nj_tree(dm) : bme_greedy(dm);
+  if (dm.n >= 4) {
+    bool moved = true;
+    int guard = 0;
+    while (moved && guard < 200 * dm.n) {
+      moved = false;
+      if (nni)
+        while (bnni_step(dm, &t) && ++guard < 200 * dm.n) moved = true;
+      if (spr && bspr_step(dm, &t)) {
+        moved = true;
+        ++guard;
+      }
+    }
+  }
+  assign_balanced_lengths(dm, &t);
+  return t;
+}
+
+// ---------------------------------------------------------------------------
+// Comparison
+// ---------------------------------------------------------------------------
+
+namespace {
+
+using Bits = std::vector<uint64_t>;
+
+struct Bipartitions {
+  // canonical bitset (taxon-sorted ids, bit for name-rank) -> branch length
+  std::map<Bits, double> internal;
+  std::map<int, double> external;  // name-rank -> leaf branch length
+};
+
+Bipartitions bipartitions(const Tree& t, const std::vector<int>& rank, int n) {
+  Bipartitions out;
+  int words = (n + 63) / 64;
+  int ne = static_cast<int>(t.edges.size());
+  std::vector<Bits> below(2 * ne);
+  // For each directed edge compute leaf set via DFS with memo (postorder).
+  std::function<const Bits&(int)> get = [&](int d) -> const Bits& {
+    if (!below[d].empty()) return below[d];
+    Bits b(words, 0);
+    int e = d / 2;
+    int head = d % 2 == 0 ? t.edges[e].v : t.edges[e].u;
+    if (head < t.n_leaves) {
+      int r = rank[head];
+      b[r / 64] |= (uint64_t{1} << (r % 64));
+    } else {
+      for (int e2 : t.adj[head]) {
+        if (e2 == e) continue;
+        int cd = (t.edges[e2].u == head) ? 2 * e2 : 2 * e2 + 1;
+        const Bits& cb = get(cd);
+        for (int wd = 0; wd < words; ++wd) b[wd] |= cb[wd];
+      }
+    }
+    below[d] = std::move(b);
+    return below[d];
+  };
+
+  for (int e = 0; e < ne; ++e) {
+    const Bits& b = get(2 * e);
+    int count = 0;
+    for (uint64_t wd : b) count += __builtin_popcountll(wd);
+    if (count == 1 || count == n - 1) {
+      // external edge
+      int leaf = t.edges[e].v < t.n_leaves ? t.edges[e].v
+                : (t.edges[e].u < t.n_leaves ? t.edges[e].u : -1);
+      if (leaf >= 0) out.external[rank[leaf]] += t.edges[e].len;
+      continue;
+    }
+    if (count == 0 || count == n) continue;
+    // canonical: ensure bit 0 is clear (complement-invariant)
+    Bits canon = b;
+    if (canon[0] & 1) {
+      for (int wd = 0; wd < words; ++wd) canon[wd] = ~canon[wd];
+      // clear padding bits
+      int extra = words * 64 - n;
+      if (extra > 0) canon[words - 1] &= (~uint64_t{0}) >> extra;
+    }
+    out.internal[canon] += t.edges[e].len;
+  }
+  return out;
+}
+
+}  // namespace
+
+CompareResult compare_trees(const Tree& a, const Tree& b, bool include_external) {
+  std::vector<std::string> names_a = a.leaf_names, names_b = b.leaf_names;
+  std::sort(names_a.begin(), names_a.end());
+  std::sort(names_b.begin(), names_b.end());
+  if (names_a != names_b)
+    throw std::runtime_error("compare_trees: leaf sets differ");
+  int n = static_cast<int>(names_a.size());
+  auto rank_of = [&](const Tree& t) {
+    std::vector<int> rank(t.n_leaves);
+    for (int i = 0; i < t.n_leaves; ++i)
+      rank[i] = static_cast<int>(
+          std::lower_bound(names_a.begin(), names_a.end(), t.leaf_names[i]) -
+          names_a.begin());
+    return rank;
+  };
+  Bipartitions ba = bipartitions(a, rank_of(a), n);
+  Bipartitions bb = bipartitions(b, rank_of(b), n);
+
+  CompareResult res;
+  double sq = 0, wsum = 0;
+  int common = 0;
+  for (const auto& [bits, len] : ba.internal) {
+    auto it = bb.internal.find(bits);
+    double other = it == bb.internal.end() ? 0.0 : it->second;
+    if (it != bb.internal.end()) ++common;
+    sq += (len - other) * (len - other);
+    wsum += std::abs(len - other);
+  }
+  for (const auto& [bits, len] : bb.internal) {
+    if (ba.internal.count(bits)) continue;
+    sq += len * len;
+    wsum += len;
+  }
+  if (include_external) {
+    for (const auto& [r, len] : ba.external) {
+      double other = bb.external.count(r) ? bb.external.at(r) : 0.0;
+      sq += (len - other) * (len - other);
+      wsum += std::abs(len - other);
+    }
+  }
+  res.n_common = common;
+  res.rf = static_cast<double>(ba.internal.size() + bb.internal.size() -
+                               2 * common);
+  int denom = 2 * std::max(n - 3, 1);
+  res.norm_rf = res.rf / denom;
+  res.weighted_rf = wsum;
+  res.kf = std::sqrt(sq);
+  return res;
+}
+
+}  // namespace pftree

@@ -40,7 +40,7 @@ def read_phylip(path_or_text: Union[str, "bytes"]) -> Tuple[np.ndarray, List[str
     """Parse a square PHYLIP distance matrix -> (matrix float64, ids)."""
     if isinstance(path_or_text, bytes):
         text = path_or_text.decode()
-    elif "\n" in path_or_text:
+    elif isinstance(path_or_text, str) and "\n" in path_or_text:
         text = path_or_text
     else:
         with open(path_or_text) as fh:

@@ -30,10 +30,16 @@ class InferenceConfig:
     n_buckets: Tuple[int, ...] = DEFAULT_N_BUCKETS
     l_buckets: Tuple[int, ...] = DEFAULT_L_BUCKETS
     # Max activation tokens (B * P * L) per device batch; bounds HBM use.
-    # 2^24 tokens * 64 ch * 4 B = 4 GiB of fp32 activations per layer tensor.
-    max_batch_tokens: int = 1 << 24
+    # 2^22 tokens * 64 ch * 4 B = 1 GiB per fp32 activation tensor; XLA keeps
+    # a handful of live copies per block (residual + attention branch +
+    # transpose), so this keeps peak HBM well under 16 GB.
+    max_batch_tokens: int = 1 << 22
     max_batch_size: int = 64
-    precision: str = "float32"  # "float32" | "bfloat16"
+    precision: str = "float32"  # "float32" | "bfloat16" parameter/activation dtype
+    # Matmul pass mode: "float32" = full fp32 (parity), "tensorfloat32" =
+    # 3-pass bf16 MXU, "default" = single-pass bf16 MXU (fastest; final
+    # distance error ~1e-3 relative, see bench.py accuracy gate).
+    matmul_precision: str = "float32"
     allow_oversize: bool = True  # n/L beyond last bucket: exact-shape fallback
 
 
@@ -67,8 +73,10 @@ class InferenceEngine:
 
         self._jax = jax
         self._jnp = jnp
-        self.cfg = cfg
         self.icfg = icfg or InferenceConfig()
+        if self.icfg.matmul_precision != cfg.matmul_precision:
+            cfg = dataclasses.replace(cfg, matmul_precision=self.icfg.matmul_precision)
+        self.cfg = cfg
         if self.icfg.precision == "bfloat16":
             params = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, jnp.bfloat16)

@@ -1,0 +1,99 @@
+"""Tree-toolkit CLI: build trees from distance matrices, compare tree sets.
+
+Subcommands mirror the reference's native binaries
+(`/root/reference/README.md:77-99`):
+
+    pf-tree fastme -i mat.phy -o tree.nwk [--nni] [--spr] [-m bme|nj]
+    pf-tree fastme-dir <matdir> <outdir> [...]          # batch
+    pf-tree compare <ref_tree_dir> <cmp_tree_dir> [-o cmp.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="pf-tree")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_fm = sub.add_parser("fastme", help="distance matrix -> tree")
+    p_fm.add_argument("-i", "--input", required=True)
+    p_fm.add_argument("-o", "--output", default=None)
+    p_fm.add_argument("-m", "--method", default="bme", choices=["bme", "nj"])
+    p_fm.add_argument("--nni", action="store_true")
+    p_fm.add_argument("--spr", action="store_true")
+
+    p_fd = sub.add_parser("fastme-dir", help="batch: every .phy in a directory")
+    p_fd.add_argument("matdir")
+    p_fd.add_argument("outdir")
+    p_fd.add_argument("-m", "--method", default="bme", choices=["bme", "nj"])
+    p_fd.add_argument("--nni", action="store_true")
+    p_fd.add_argument("--spr", action="store_true")
+
+    p_cmp = sub.add_parser("compare", help="compare matching .nwk trees in two dirs")
+    p_cmp.add_argument("refdir")
+    p_cmp.add_argument("cmpdir")
+    p_cmp.add_argument("-o", "--output", default=None)
+    p_cmp.add_argument("--include-external", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    from .native import build_tree_from_phylip, compare_newick
+
+    if args.cmd == "fastme":
+        nwk = build_tree_from_phylip(
+            Path(args.input).read_text(), args.method, args.nni, args.spr
+        )
+        if args.output:
+            Path(args.output).write_text(nwk + "\n")
+        else:
+            print(nwk)
+        return 0
+
+    if args.cmd == "fastme-dir":
+        outdir = Path(args.outdir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        count = 0
+        for phy in sorted(Path(args.matdir).glob("*.phy")):
+            nwk = build_tree_from_phylip(phy.read_text(), args.method, args.nni, args.spr)
+            (outdir / (phy.stem + ".nwk")).write_text(nwk + "\n")
+            count += 1
+        print(f"built {count} trees -> {outdir}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "compare":
+        rows = ["id,rf,norm_rf,weighted_rf,kf_score,n_common"]
+        kf_sum, count = 0.0, 0
+        for ref in sorted(Path(args.refdir).glob("*.nwk")):
+            stem = ref.stem
+            cand = None
+            for alt in (f"{stem}.nwk", f"{stem}.nj.nwk", f"{stem}.bme.nwk"):
+                p = Path(args.cmpdir) / alt
+                if p.exists():
+                    cand = p
+                    break
+            if cand is None:
+                continue
+            r = compare_newick(ref.read_text(), cand.read_text(), args.include_external)
+            rows.append(
+                f"{stem},{r.rf:g},{r.norm_rf:g},{r.weighted_rf:g},{r.kf:g},{r.n_common}"
+            )
+            kf_sum += r.kf
+            count += 1
+        csv = "\n".join(rows) + "\n"
+        if args.output:
+            Path(args.output).write_text(csv)
+        else:
+            print(csv, end="")
+        if count:
+            print(f"mean kf over {count} trees: {kf_sum / count:.3f}", file=sys.stderr)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""Native C++ tree toolkit tests (BME/NNI/SPR builder + comparison metrics).
+
+Includes the framework's north-star integration gate: reference-golden
+distance predictions -> our FastME-equivalent (--nni --spr) -> avg KF vs the
+true testdata trees must reproduce the documented 0.333
+(`/root/reference/README.md:94-99`).
+"""
+
+import numpy as np
+import pytest
+
+from phyloformer_tpu.data import (
+    matrix_to_phylip,
+    parse_newick,
+    patristic_matrix,
+    vec_to_phylip,
+)
+
+native = pytest.importorskip("phyloformer_tpu.trees.native")
+
+try:
+    native.build_native()
+    HAVE_NATIVE = True
+except native.NativeUnavailable:
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="native toolkit not buildable")
+
+
+def _random_tree(rng, n):
+    """Random binary tree with random branch lengths, leaves T0..T{n-1}."""
+    from phyloformer_tpu.data.newick import Node
+
+    nodes = [Node(f"T{i}", float(rng.uniform(0.05, 1.0))) for i in range(n)]
+    while len(nodes) > 3:
+        i, j = sorted(rng.choice(len(nodes), size=2, replace=False))
+        parent = Node("", float(rng.uniform(0.05, 1.0)))
+        parent.add_child(nodes[i])
+        parent.add_child(nodes[j])
+        rest = [nodes[k] for k in range(len(nodes)) if k not in (i, j)]
+        nodes = rest + [parent]
+    root = Node("")
+    for c in nodes:
+        root.add_child(c)
+    return root
+
+
+@pytest.mark.parametrize("method", ["nj", "bme"])
+@pytest.mark.parametrize("n", [5, 12, 30])
+def test_additive_recovery(method, n):
+    """On additive (tree-metric) input both methods must recover the tree
+    exactly (topology + branch lengths)."""
+    rng = np.random.default_rng(n)
+    true = _random_tree(rng, n)
+    ids = sorted(true.leaf_names())
+    dm, _ = patristic_matrix(true, ids)
+    nwk = native.build_tree(dm, ids, method=method, nni=True, spr=True)
+    rebuilt = parse_newick(nwk)
+    dm2, _ = patristic_matrix(rebuilt, ids)
+    np.testing.assert_allclose(dm2, dm, atol=1e-9)
+    cmp = native.compare_newick(true.to_newick(), nwk)
+    assert cmp.rf == 0
+    assert cmp.kf == pytest.approx(0.0, abs=1e-9)
+
+
+def test_nni_spr_improve_pauplin_length():
+    """BME + NNI + SPR must not be worse (balanced length) than NJ or plain
+    BME on noisy matrices."""
+    rng = np.random.default_rng(7)
+    true = _random_tree(rng, 20)
+    ids = sorted(true.leaf_names())
+    dm, _ = patristic_matrix(true, ids)
+    noisy = dm * np.exp(rng.normal(0, 0.25, dm.shape))
+    noisy = (noisy + noisy.T) / 2
+    np.fill_diagonal(noisy, 0)
+    phy = matrix_to_phylip(noisy, ids)
+
+    lengths = {}
+    for label, (method, nni, spr) in {
+        "nj": ("nj", False, False),
+        "bme": ("bme", False, False),
+        "bme+nni": ("bme", True, False),
+        "bme+nni+spr": ("bme", True, True),
+    }.items():
+        nwk = native.build_tree_from_phylip(phy, method, nni, spr)
+        lengths[label] = native.pauplin_length(phy, nwk)
+    assert lengths["bme+nni"] <= lengths["bme"] + 1e-9
+    assert lengths["bme+nni+spr"] <= lengths["bme+nni"] + 1e-9
+    assert lengths["bme+nni+spr"] <= lengths["nj"] + 1e-9
+
+
+def test_compare_metrics_known_case():
+    a = "((A:1,B:1):1,(C:1,D:1):1,(E:1,F:1):1);"
+    b = "((A:1,C:1):1,(B:1,D:1):1,(E:1,F:1):1);"  # two bipartitions differ
+    same = native.compare_newick(a, a)
+    assert same.rf == 0 and same.kf == 0 and same.weighted_rf == 0
+    diff = native.compare_newick(a, b)
+    # shared: {EF}; differing: {AB},{CD} vs {AC},{BD} -> rf = 4
+    assert diff.rf == 4
+    assert diff.norm_rf == pytest.approx(4 / (2 * 3))
+    # kf internal-only: sqrt(1^2 * 4 + (1-1)^2) = 2
+    assert diff.kf == pytest.approx(2.0)
+
+
+def test_compare_rejects_different_leafsets():
+    with pytest.raises(RuntimeError):
+        native.compare_newick("((A:1,B:1):1,C:1);", "((A:1,B:1):1,D:1);")
+
+
+def test_kf_north_star_0333(goldens_dir, testdata_dir):
+    """Golden reference predictions -> BME+NNI+SPR -> avg internal KF ≈ 0.333."""
+    g = np.load(goldens_dir / "pf_preds_testdata.npz")
+    kfs = []
+    for tree_path in sorted((testdata_dir / "trees").glob("*.nwk")):
+        stem = tree_path.stem
+        ids = [str(x) for x in g[stem + "__ids"]]
+        dm, phy = vec_to_phylip(g[stem].astype(np.float64), ids)
+        nwk = native.build_tree_from_phylip(phy, "bme", nni=True, spr=True)
+        cmp = native.compare_newick(tree_path.read_text(), nwk)
+        kfs.append(cmp.kf)
+    mean_kf = float(np.mean(kfs))
+    # documented expected output of the reference pipeline is 0.333
+    assert 0.30 < mean_kf < 0.36, f"mean KF {mean_kf}"
