@@ -1,0 +1,265 @@
+"""Training CLI — mirrors the reference trainer's flag surface
+(`/root/reference/train_distributed.py:207-361`, ``cli_reference.md``) on the
+TPU-native engine.
+
+    pf-train -t trees/ -a msas/ [-T val_trees/ -A val_msas/] \
+        [--batch-size 4] [--learning-rate 1e-4] [--warmup-steps 5000] ...
+
+Additions over the reference: ``--loss mre`` (the published PF fine-tune loss
+the reference trainer could not express), ``--shard-pairs``, ``--remat``,
+``--mesh-data/--mesh-pair`` for explicit mesh shapes, orbax resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pf-train", description="Train Phyloformer-TPU")
+
+    data = p.add_argument_group("data")
+    data.add_argument("--train-trees", "-t", required=True)
+    data.add_argument("--train-alignments", "-a", required=True)
+    data.add_argument("--val-trees", "-T", default=None)
+    data.add_argument("--val-alignments", "-A", default=None)
+    data.add_argument("--train-regex", "-r", default=None)
+    data.add_argument("--val-regex", "-R", default=None)
+    data.add_argument("--num-workers", type=int, default=None,
+                      help="IO worker threads (default: from cpu count)")
+
+    start = p.add_argument_group("starting point")
+    start.add_argument("--load-checkpoint", "-c", default=None,
+                       help="orbax checkpoint dir to resume training from")
+    start.add_argument("--base-model", "-m", default=None,
+                       help="checkpoint to fine-tune from (.ckpt torch zip or .npz)")
+
+    arch = p.add_argument_group("architecture")
+    arch.add_argument("--dropout", "-D", type=float, default=0.0)
+    arch.add_argument("--nb-blocks", "-b", type=int, default=6)
+    arch.add_argument("--embed-dim", "-d", type=int, default=64)
+    arch.add_argument("--nb-heads", "-H", type=int, default=4)
+
+    train = p.add_argument_group("training")
+    train.add_argument("--nb-epochs", "-e", type=int, default=100)
+    train.add_argument("--warmup-steps", "-w", type=int, default=5000)
+    train.add_argument("--learning-rate", "-l", type=float, default=1e-4)
+    train.add_argument("--check-val-every", type=int, default=10_000)
+    train.add_argument("--batch-size", "-s", type=int, default=4)
+    train.add_argument("--max-steps", "-M", type=int, default=None)
+    train.add_argument("--no-improvement-stop", type=int, default=5)
+    train.add_argument("--hard-loss-ceiling", type=float, default=3.0)
+    train.add_argument("--loss", default="mae", choices=["mae", "l1", "mre", "mse"],
+                       help="training loss (reference hard-codes L1; PF was "
+                            "fine-tuned with MRE)")
+    train.add_argument("--seed", type=int, default=1337)
+    train.add_argument("--remat", action="store_true",
+                       help="rematerialize blocks (activation memory saver)")
+
+    dist = p.add_argument_group("distribution")
+    dist.add_argument("--mesh-data", type=int, default=None,
+                      help="data-parallel mesh size (default: all devices)")
+    dist.add_argument("--mesh-pair", type=int, default=1,
+                      help="pair-axis sharding size")
+    dist.add_argument("--shard-pairs", action="store_true",
+                      help="shard the pair axis of activations over the mesh")
+    dist.add_argument("--distributed-init", action="store_true",
+                      help="call jax.distributed.initialize() (multi-host)")
+
+    log = p.add_argument_group("logging")
+    log.add_argument("--output-dir", "-o", default=".")
+    log.add_argument("--log-every", type=int, default=100)
+    log.add_argument("--run-name", "-n", default=None)
+    log.add_argument("--project-name", "-p", default="PHYLOFORMER_EXPERIMENTS")
+
+    util = p.add_argument_group("utils")
+    util.add_argument("--find-batch-size", action="store_true",
+                      help="binary-search the largest fitting batch size, print, exit")
+    util.add_argument("--dry-run", action="store_true",
+                      help="set up everything, run one step, print summary, exit")
+    return p
+
+
+def identifier_from_args(args) -> str:
+    """Hyperparameter-encoding run identifier (reference ``:442-447`` spirit)."""
+    return (
+        f"pf_b{args.nb_blocks}_h{args.nb_heads}_d{args.embed_dim}"
+        f"_lr{args.learning_rate:g}_bs{args.batch_size}_{args.loss}"
+        f"_seed{args.seed}"
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.distributed_init:
+        import jax
+
+        jax.distributed.initialize()
+
+    import jax
+
+    from ..models.params import PhyloformerConfig
+    from ..parallel.mesh import make_mesh
+    from .data import BucketedLoader, LoaderConfig, choose_data
+    from .loop import FitConfig, fit
+    from .trainer import TrainConfig
+
+    cfg = PhyloformerConfig(
+        n_blocks=args.nb_blocks,
+        n_heads=args.nb_heads,
+        embed_dim=args.embed_dim,
+        dropout=args.dropout,
+    )
+
+    train_pairs, val_pairs = choose_data(
+        args.train_trees,
+        args.train_alignments,
+        args.val_trees,
+        args.val_alignments,
+        args.train_regex,
+        args.val_regex,
+        seed=args.seed,
+    )
+    if not train_pairs:
+        print("no training pairs found", file=sys.stderr)
+        return 1
+    print(f"train examples: {len(train_pairs)}, val examples: {len(val_pairs)}")
+
+    n_devices = len(jax.devices())
+    mesh = None
+    if n_devices > 1 or args.mesh_pair > 1:
+        mesh = make_mesh(data=args.mesh_data, pair=args.mesh_pair)
+        print(f"mesh: {dict(mesh.shape)}")
+
+    # total steps for the linear decay: ceil(len(train)/batch) * epochs
+    # (reference total_steps calc, train_distributed.py:424-426)
+    steps_per_epoch = -(-len(train_pairs) // args.batch_size)
+    total_steps = args.max_steps or steps_per_epoch * args.nb_epochs
+
+    tcfg = TrainConfig(
+        loss=args.loss,
+        learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps,
+        total_steps=total_steps,
+        remat=args.remat,
+        seed=args.seed,
+        shard_pairs=args.shard_pairs,
+    )
+
+    nw = args.num_workers
+    if nw is None:
+        nw = max(1, min(8, (os.cpu_count() or 2) - 1))
+    lcfg = LoaderConfig(batch_size=args.batch_size, num_workers=nw, seed=args.seed)
+    train_loader = BucketedLoader(train_pairs, lcfg)
+    val_loader = BucketedLoader(val_pairs, dataclasses.replace(lcfg, shuffle=False)) if val_pairs else None
+
+    init_params = None
+    if args.base_model:
+        if args.base_model.endswith(".npz"):
+            from ..io.checkpoint import load_params_npz
+
+            init_params = load_params_npz(args.base_model)
+        else:
+            from ..io.ckpt_import import load_pretrained
+
+            init_params, loaded_cfg, _ = load_pretrained(args.base_model)
+            if (loaded_cfg.n_blocks, loaded_cfg.n_heads, loaded_cfg.embed_dim) != (
+                cfg.n_blocks, cfg.n_heads, cfg.embed_dim,
+            ):
+                print(
+                    f"warning: base model architecture {loaded_cfg} != CLI args; using base model's",
+                    file=sys.stderr,
+                )
+                cfg = dataclasses.replace(
+                    loaded_cfg, dropout=args.dropout
+                )
+
+    if args.find_batch_size:
+        bs = find_batch_size(cfg, tcfg, mesh)
+        print(json.dumps({"max_batch_size": bs}))
+        return 0
+
+    fcfg = FitConfig(
+        nb_epochs=args.nb_epochs if not args.dry_run else 1,
+        max_steps=1 if args.dry_run else args.max_steps,
+        check_val_every=args.check_val_every,
+        log_every=args.log_every,
+        hard_loss_ceiling=args.hard_loss_ceiling,
+        no_improvement_stop=args.no_improvement_stop,
+        output_dir=args.output_dir,
+        run_name=args.run_name or identifier_from_args(args),
+    )
+
+    summary = fit(
+        cfg, tcfg, fcfg, train_loader, val_loader,
+        mesh=mesh, init_params=init_params,
+        resume=bool(args.load_checkpoint),
+    )
+    print(
+        json.dumps(
+            {
+                "steps": summary["steps"],
+                "best_val_loss": summary["best_val_loss"],
+                "stop_reason": summary["stop_reason"],
+                "wall_time_s": round(summary["wall_time_s"], 2),
+                "checkpoint_dir": summary["checkpoint_dir"],
+            }
+        )
+    )
+    return 0
+
+
+def find_batch_size(cfg, tcfg, mesh, n=50, L=512, start=4, limit=4096) -> int:
+    """Binary-search the largest batch size that fits in device memory
+    (reference `--find-batch-size`, train_distributed.py:469-477)."""
+    import numpy as np
+
+    import jax
+
+    from ..data.pairs import n_pairs
+    from .trainer import create_train_state, make_train_step
+
+    def try_bs(bs: int) -> bool:
+        try:
+            state, tx = create_train_state(cfg, tcfg)
+            step = make_train_step(cfg, tcfg, tx, mesh=mesh)
+            rng = np.random.default_rng(0)
+            batch = {
+                "codes": rng.integers(0, 22, (bs, n, L)).astype(np.int32),
+                "dists": rng.uniform(0.1, 1, (bs, n_pairs(n))).astype(np.float32),
+                "site_mask": np.ones((bs, L), bool),
+                "seq_mask": np.ones((bs, n), bool),
+            }
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(mesh, batch)
+            state, logs = step(state, batch, jax.random.PRNGKey(0))
+            jax.block_until_ready(logs["train_loss"])
+            return True
+        except Exception:
+            return False
+
+    good = 0
+    bs = start
+    while bs <= limit and try_bs(bs):
+        good = bs
+        bs *= 2
+    lo, hi = good, min(bs, limit)
+    while hi - lo > max(1, lo // 8):
+        mid = (lo + hi) // 2
+        if try_bs(mid):
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+if __name__ == "__main__":
+    sys.exit(main())
