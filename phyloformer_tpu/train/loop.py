@@ -55,7 +55,12 @@ class MetricLogger:
     def log(self, step: int, **scalars):
         rec = {"step": int(step), "time": time.time()}
         for k, v in scalars.items():
-            rec[k] = float(v) if np.isscalar(v) or hasattr(v, "item") else v
+            if isinstance(v, str):
+                rec[k] = v
+            elif np.isscalar(v) or hasattr(v, "item"):
+                rec[k] = float(v)
+            else:
+                rec[k] = v
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
 
