@@ -1,0 +1,107 @@
+"""Benchmark CLI.
+
+    pf-bench pipeline <weights> <alndir> [--true-trees dir] [-o exec.csv]
+    pf-bench throughput <weights> [--tips 60] [--length 250] [--count 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pf-bench")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("pipeline", help="timed end-to-end inference->tree pipeline")
+    pp.add_argument("weights")
+    pp.add_argument("alndir")
+    pp.add_argument("--true-trees", default=None)
+    pp.add_argument("-o", "--output-csv", default=None)
+    pp.add_argument("--marker", default="PF")
+    pp.add_argument("--precision", default="float32",
+                    choices=["float32", "tensorfloat32", "default"])
+    pp.add_argument("--pallas", action="store_true")
+
+    pt = sub.add_parser("throughput", help="synthetic-throughput benchmark")
+    pt.add_argument("weights")
+    pt.add_argument("--tips", type=int, default=60)
+    pt.add_argument("--length", type=int, default=250)
+    pt.add_argument("--count", type=int, default=256)
+    pt.add_argument("--precision", default="tensorfloat32")
+    pt.add_argument("--pallas", action="store_true")
+    pt.add_argument("--batch-tokens", type=int, default=1 << 23)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        from .harness import run_pipeline_benchmark
+
+        summary = run_pipeline_benchmark(
+            args.weights,
+            args.alndir,
+            out_csv=args.output_csv,
+            marker=args.marker,
+            true_tree_dir=args.true_trees,
+            engine_kwargs={
+                "matmul_precision": args.precision,
+                "use_pallas": args.pallas,
+            },
+        )
+        stages = {f"{m}/{i}": v for (m, i), v in summary.pop("stages").items()}
+        summary["stages"] = stages
+        print(json.dumps(summary, indent=2))
+        return 0
+
+    if args.cmd == "throughput":
+        import numpy as np
+
+        from ..infer.engine import InferenceConfig, InferenceEngine
+        from ..io.ckpt_import import load_pretrained
+        from ..data.fasta import Alignment
+
+        params, cfg, _ = load_pretrained(args.weights)
+        engine = InferenceEngine(
+            params,
+            cfg,
+            InferenceConfig(
+                matmul_precision=args.precision,
+                use_pallas=args.pallas,
+                max_batch_tokens=args.batch_tokens,
+            ),
+        )
+        rng = np.random.default_rng(0)
+        alns = [
+            Alignment(
+                codes=rng.integers(0, 20, (args.tips, args.length)).astype(np.int8),
+                ids=[f"T{j}" for j in range(args.tips)],
+            )
+            for _ in range(args.count)
+        ]
+        engine.predict(alns[:4])  # warmup
+        t0 = time.perf_counter()
+        engine.predict(alns)
+        elapsed = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "alignments": args.count,
+                    "elapsed_s": round(elapsed, 3),
+                    "alignments_per_s": round(args.count / elapsed, 3),
+                    "tips": args.tips,
+                    "length": args.length,
+                    "precision": args.precision,
+                    "pallas": args.pallas,
+                }
+            )
+        )
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

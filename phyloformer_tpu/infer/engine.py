@@ -40,6 +40,7 @@ class InferenceConfig:
     # 3-pass bf16 MXU, "default" = single-pass bf16 MXU (fastest; final
     # distance error ~1e-3 relative, see bench.py accuracy gate).
     matmul_precision: str = "float32"
+    use_pallas: bool = False  # fused Pallas axial-block kernels (TPU)
     allow_oversize: bool = True  # n/L beyond last bucket: exact-shape fallback
 
 
@@ -94,11 +95,19 @@ class InferenceEngine:
         fn = self._compiled.get(key)
         if fn is None:
             jax, cfg = self._jax, self.cfg
+            use_pallas = self.icfg.use_pallas
 
             def run(params, codes, site_mask, seq_mask):
-                out = forward(
-                    params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask
-                )
+                if use_pallas:
+                    from ..models.phyloformer import forward_fused
+
+                    out = forward_fused(
+                        params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask
+                    )
+                else:
+                    out = forward(
+                        params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask
+                    )
                 return out.astype(self._jnp.float32)
 
             fn = jax.jit(run)

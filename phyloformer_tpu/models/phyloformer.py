@@ -195,3 +195,38 @@ def pair_mask_from_seq_mask(seq_mask: jax.Array, n_seqs: int) -> jax.Array:
 @partial(jax.jit, static_argnames=("cfg", "remat"))
 def forward_jit(params, codes, cfg: PhyloformerConfig, site_mask=None, seq_mask=None, remat: bool = False):
     return forward(params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask, remat=remat)
+
+
+def forward_fused(
+    params: Params,
+    codes: jax.Array,
+    cfg: PhyloformerConfig,
+    site_mask: Optional[jax.Array] = None,
+    seq_mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Inference forward using the fused Pallas axial-block kernels
+    (:mod:`phyloformer_tpu.ops.pallas`). Same numerics as :func:`forward`
+    in deterministic mode; ~4 HBM passes per block instead of ~15."""
+    from ..ops.pallas import fused_axial_block
+
+    b, n_seqs, seq_len = codes.shape
+    if site_mask is None:
+        site_mask = jnp.ones((b, seq_len), bool)
+    if seq_mask is None:
+        seq_mask = jnp.ones((b, n_seqs), bool)
+    pair_mask = pair_mask_from_seq_mask(seq_mask, n_seqs)
+
+    mxu_precision = "highest" if cfg.matmul_precision == "float32" else "default"
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        emb = embed_alignment(params, codes)
+        x = build_pairs(emb, n_seqs)
+        for layer in params["layers"]:
+            x = fused_axial_block(
+                x, layer, site_mask, pair_mask, cfg.n_heads, cfg.ln_eps, interpret,
+                mxu_precision,
+            )
+        h = x @ params["head"]["w"] + params["head"]["b"]
+        h = jax.nn.softplus(h)[..., 0]
+        m = site_mask[:, None, :].astype(h.dtype)
+        return jnp.sum(h * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)

@@ -1,0 +1,263 @@
+"""Fused Pallas TPU kernels for the Phyloformer axial block.
+
+The XLA path (``models/phyloformer.py``) is numerically canonical but
+memory-bound: each block makes ~15 HBM passes over the ``(B, P, L, d)``
+activations (LN reads, q/k/v projections, transposes for the pair-axis
+attention, FFN).  These kernels restructure one block into two passes:
+
+- **Kernel A** (grid ``B x P-tiles``): row sub-block fully fused — LN,
+  q/k/v projections, masked scaled-linear attention over the tile-resident
+  site axis, output projection, residual — then, on the result, the column
+  LN + k/q/v projections whose pair-axis sums (Σk, Σq, Σk·v) are accumulated
+  across grid steps into a tiny ``(L, H, hd+2)`` stats buffer.  Linear
+  attention's pair-axis state is exactly these sums, so no transpose and no
+  second pass over pairs is needed.
+- **Kernel B** (grid ``B x P-tiles``): recomputes the cheap column LN+q
+  projection, forms the attention output from the global stats
+  (``ctx = Σk·v / Σk``, ``q̂ = q/(Σq/Π)``), applies the output projection,
+  residual, then the fused FFN sub-block — one read, one write.
+
+Numerics match :func:`phyloformer_tpu.ops.attention.scaled_linear_attention`
+with masks (padded sites/pairs are exact no-ops).  fp32 throughout; the
+matmuls are tiny (d=64) so the win is bandwidth, not MXU.
+
+Inference-path kernels (no dropout, no custom VJP yet — training uses the
+XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _phi(x):
+    return jax.nn.elu(x) + 1.0
+
+
+def _kernel_a(
+    # inputs
+    x_ref, site_mask_ref, pair_mask_ref,
+    rn_s_ref, rn_b_ref, rwq_ref, rbq_ref, rwk_ref, rbk_ref,
+    rwv_ref, rbv_ref, rwo_ref, rbo_ref,
+    cn_s_ref, cn_b_ref, cwq_ref, cbq_ref, cwk_ref, cbk_ref,
+    cwv_ref, cbv_ref,
+    # outputs
+    x1_ref, stats_ref,
+    *, n_heads: int, eps: float, prec,
+):
+    def mm(a, w, b):
+        return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
+                       preferred_element_type=jnp.float32).reshape(
+                           a.shape[:-1] + (w.shape[-1],)) + b
+    pt = pl.program_id(1)
+    x = x_ref[0]  # (Pt, L, d)
+    ptile, L, d = x.shape
+    hd = d // n_heads
+    smask = site_mask_ref[0, :, 0].astype(x.dtype)  # (L,)
+    pmask = pair_mask_ref[0, :, 0].astype(x.dtype)  # (Pt,)
+
+    # ---- row sub-block: attention over the (resident) site axis ----
+    h = _ln(x, rn_s_ref[:], rn_b_ref[:], eps)
+    q = _phi(mm(h, rwq_ref[:], rbq_ref[:])) * smask[None, :, None]  # (Pt, L, H)
+    k = _phi(mm(h, rwk_ref[:], rbk_ref[:])) * smask[None, :, None]
+    v = mm(h, rwv_ref[:], rbv_ref[:])  # (Pt, L, d)
+
+    count = jnp.maximum(jnp.sum(smask), 1.0)
+    q_mean = jnp.sum(q, axis=1, keepdims=True) / count  # (Pt, 1, H)
+    k_sum = jnp.sum(k, axis=1, keepdims=True)  # (Pt, 1, H)
+    qn = q / q_mean
+    kn = k / k_sum
+
+    v4 = v.reshape(ptile, L, n_heads, hd)
+    ctx = jnp.einsum("plh,plhe->phe", kn, v4, precision=prec,
+                     preferred_element_type=jnp.float32)
+    attn = (qn[:, :, :, None] * ctx[:, None, :, :]).reshape(ptile, L, d)
+    x1 = x + mm(attn, rwo_ref[:], rbo_ref[:])
+    x1_ref[0] = x1
+
+    # ---- column stats on x1: partial sums over this pair tile ----
+    hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
+    qc = _phi(mm(hc, cwq_ref[:], cbq_ref[:])) * pmask[:, None, None]  # (Pt, L, H)
+    kc = _phi(mm(hc, cwk_ref[:], cbk_ref[:])) * pmask[:, None, None]
+    vc = mm(hc, cwv_ref[:], cbv_ref[:]).reshape(ptile, L, n_heads, hd)
+
+    k_part = jnp.sum(kc, axis=0)  # (L, H)
+    q_part = jnp.sum(qc, axis=0)  # (L, H)
+    kv_part = jnp.einsum("plh,plhe->lhe", kc, vc, precision=prec,
+                         preferred_element_type=jnp.float32)
+
+    part = jnp.concatenate(
+        [k_part[:, :, None], q_part[:, :, None], kv_part], axis=-1
+    )  # (L, H, hd + 2)
+
+    @pl.when(pt == 0)
+    def _init():
+        stats_ref[0] = part
+
+    @pl.when(pt > 0)
+    def _acc():
+        stats_ref[0] += part
+
+
+def _kernel_b(
+    x1_ref, stats_ref, pair_mask_ref, pair_count_ref,
+    cn_s_ref, cn_b_ref, cwq_ref, cbq_ref, cwo_ref, cbo_ref,
+    fn_s_ref, fn_b_ref, fw1_ref, fb1_ref, fw2_ref, fb2_ref,
+    x3_ref,
+    *, n_heads: int, eps: float, prec,
+):
+    def mm(a, w, b):
+        return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
+                       preferred_element_type=jnp.float32).reshape(
+                           a.shape[:-1] + (w.shape[-1],)) + b
+    x1 = x1_ref[0]  # (Pt, L, d)
+    ptile, L, d = x1.shape
+    hd = d // n_heads
+    stats = stats_ref[0]  # (L, H, hd + 2)
+
+    hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
+    qc = _phi(mm(hc, cwq_ref[:], cbq_ref[:]))  # (Pt, L, H)
+
+    k_sum = stats[:, :, 0]  # (L, H)
+    q_sum = stats[:, :, 1]
+    kv = stats[:, :, 2:]  # (L, H, hd)
+
+    n_pairs = jnp.maximum(pair_count_ref[0], 1.0)
+    q_mean = q_sum / n_pairs  # (L, H)
+    ctx = kv / k_sum[:, :, None]  # (L, H, hd)
+
+    qn = qc / q_mean[None, :, :]
+    attn = (qn[:, :, :, None] * ctx[None, :, :, :]).reshape(ptile, L, d)
+    x2 = x1 + mm(attn, cwo_ref[:], cbo_ref[:])
+
+    h = _ln(x2, fn_s_ref[:], fn_b_ref[:], eps)
+    f = jax.nn.gelu(mm(h, fw1_ref[:], fb1_ref[:]), approximate=False)
+    x3_ref[0] = x2 + mm(f, fw2_ref[:], fb2_ref[:])
+
+
+def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Pair-tile size: keep a handful of (Pt, L, d) fp32 tensors under budget."""
+    per_row = l * d * 4 * 5  # ~5 live tensors per tile row
+    pt = max(8, budget_bytes // max(per_row, 1))
+    pt = min(pt, p, 512)
+    # round to a multiple of 8 (fp32 sublane)
+    return max(8, (pt // 8) * 8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "eps", "interpret", "mxu_precision")
+)
+def fused_axial_block(
+    x: jax.Array,
+    layer: Dict[str, Any],
+    site_mask: jax.Array,
+    pair_mask: jax.Array,
+    n_heads: int = 4,
+    eps: float = 1e-5,
+    interpret: bool = False,
+    mxu_precision: str = "highest",
+) -> jax.Array:
+    """One Phyloformer block via the fused kernels.
+
+    Args:
+      x: ``(B, P, L, d)`` fp32 activations (``P`` padded to the tile multiple
+        by the caller or here).
+      layer: one element of ``params['layers']``.
+      site_mask: ``(B, L)`` bool.
+      pair_mask: ``(B, P)`` bool.
+    """
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if mxu_precision.lower() in ("highest", "float32")
+        else jax.lax.Precision.DEFAULT
+    )
+    b, p, l, d = x.shape
+    pt = _pick_tile(p, l, d)
+    # pad the pair axis to a tile multiple (mask guarantees no-op padding)
+    p_pad = -(-p // pt) * pt
+    if p_pad != p:
+        x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, 0), (0, 0)))
+        pair_mask = jnp.pad(pair_mask, ((0, 0), (0, p_pad - p)))
+    n_tiles = p_pad // pt
+
+    hd = d // n_heads
+    la = layer["row_attn"]
+    ca = layer["col_attn"]
+    ffn = layer["ffn"]
+
+    grid = (b, n_tiles)
+    tile_spec = pl.BlockSpec(
+        (1, pt, l, d), lambda bi, pi: (bi, pi, 0, 0), memory_space=pltpu.VMEM
+    )
+    # masks carry a trailing singleton so block shapes satisfy TPU tiling
+    # (last dim == full dim 1; second-to-last div-8 or full)
+    site_mask3 = site_mask[:, :, None].astype(jnp.float32)  # (B, L, 1)
+    pair_mask3 = pair_mask[:, :, None].astype(jnp.float32)  # (B, P_pad, 1)
+    smask_spec = pl.BlockSpec(
+        (1, l, 1), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    pmask_spec = pl.BlockSpec(
+        (1, pt, 1), lambda bi, pi: (bi, pi, 0), memory_space=pltpu.VMEM
+    )
+    stats_spec = pl.BlockSpec(
+        (1, l, n_heads, hd + 2), lambda bi, pi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def w(name_dict, key):
+        return name_dict[key]
+
+    full = lambda arr: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+
+    a_params = [
+        layer["row_norm"]["scale"], layer["row_norm"]["bias"],
+        la["wq"], la["bq"], la["wk"], la["bk"], la["wv"], la["bv"],
+        la["wo"], la["bo"],
+        layer["col_norm"]["scale"], layer["col_norm"]["bias"],
+        ca["wq"], ca["bq"], ca["wk"], ca["bk"], ca["wv"], ca["bv"],
+    ]
+    x1, stats = pl.pallas_call(
+        functools.partial(_kernel_a, n_heads=n_heads, eps=eps, prec=prec),
+        grid=grid,
+        in_specs=[tile_spec, smask_spec, pmask_spec] + [full(p_) for p_ in a_params],
+        out_specs=(tile_spec, stats_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, p_pad, l, d), x.dtype),
+            jax.ShapeDtypeStruct((b, l, n_heads, hd + 2), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, site_mask3, pair_mask3, *a_params)
+
+    pair_count = jnp.sum(pair_mask.astype(jnp.float32), axis=1)  # (B,)
+    count_spec = pl.BlockSpec((1,), lambda bi, pi: (bi,), memory_space=pltpu.SMEM)
+
+    b_params = [
+        layer["col_norm"]["scale"], layer["col_norm"]["bias"],
+        ca["wq"], ca["bq"], ca["wo"], ca["bo"],
+        layer["ffn_norm"]["scale"], layer["ffn_norm"]["bias"],
+        ffn["w1"], ffn["b1"], ffn["w2"], ffn["b2"],
+    ]
+    x3 = pl.pallas_call(
+        functools.partial(_kernel_b, n_heads=n_heads, eps=eps, prec=prec),
+        grid=grid,
+        in_specs=[tile_spec, stats_spec, pmask_spec, count_spec]
+        + [full(p_) for p_ in b_params],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, l, d), x.dtype),
+        interpret=interpret,
+    )(x1, stats, pair_mask3, pair_count, *b_params)
+
+    if p_pad != p:
+        x3 = x3[:, :p]
+    return x3

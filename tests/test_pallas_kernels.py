@@ -1,0 +1,87 @@
+"""Fused Pallas axial-block kernels vs the canonical XLA implementation.
+
+Runs in interpret mode on CPU (the driver benches the compiled path on TPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phyloformer_tpu.models import PhyloformerConfig, init_params
+from phyloformer_tpu.models.phyloformer import axial_block
+from phyloformer_tpu.ops.pallas import fused_axial_block
+
+CFG = PhyloformerConfig(n_blocks=1, n_heads=4, embed_dim=64)
+
+
+def _layer(seed=0):
+    params = init_params(jax.random.PRNGKey(seed), CFG)
+    return params["layers"][0]
+
+
+def _rand_x(b, p, l, d=64, seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, p, l, d)).astype(np.float32))
+
+
+@pytest.mark.parametrize("b,p,l", [(1, 45, 64), (2, 66, 96)])
+def test_fused_block_matches_xla_full_mask(b, p, l):
+    layer = _layer()
+    x = _rand_x(b, p, l)
+    site_mask = jnp.ones((b, l), bool)
+    pair_mask = jnp.ones((b, p), bool)
+    with jax.default_matmul_precision("float32"):
+        want = axial_block(x, layer, CFG, site_mask, pair_mask)
+        got = fused_axial_block(x, layer, site_mask, pair_mask, CFG.n_heads,
+                                interpret=True)
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 2e-4, f"max err {err}"
+
+
+def test_fused_block_matches_xla_with_padding():
+    """Padded sites and pairs must be exact no-ops on real outputs."""
+    layer = _layer(3)
+    b, p, l = 2, 30, 48
+    real_p, real_l = 21, 37
+    x = _rand_x(b, p, l, seed=5)
+    site_mask = jnp.asarray(np.arange(l)[None, :] < real_l).repeat(b, 0)
+    pair_mask = jnp.asarray(np.arange(p)[None, :] < real_p).repeat(b, 0)
+    with jax.default_matmul_precision("float32"):
+        want = axial_block(x, layer, CFG, site_mask, pair_mask)
+        got = fused_axial_block(x, layer, site_mask, pair_mask, CFG.n_heads,
+                                interpret=True)
+    err = np.abs(
+        np.asarray(got)[:, :real_p, :real_l] - np.asarray(want)[:, :real_p, :real_l]
+    ).max()
+    assert err < 2e-4, f"max err {err}"
+
+
+def test_fused_forward_matches_reference_predictions(goldens_dir):
+    """Full fused forward with imported pf.ckpt vs reference goldens."""
+    from phyloformer_tpu.data import read_fasta
+    from phyloformer_tpu.io import load_pretrained
+    from phyloformer_tpu.models.phyloformer import (
+        build_pairs,
+        embed_alignment,
+        pair_mask_from_seq_mask,
+    )
+
+    params, cfg, _ = load_pretrained("/root/reference/models/pf.ckpt")
+    aln = read_fasta("/root/reference/data/testdata/msas/0_20_tips.fa")
+    codes = jnp.asarray(aln.codes[None].astype(np.int32))
+    site_mask = jnp.ones((1, aln.seq_len), bool)
+    pair_mask = pair_mask_from_seq_mask(jnp.ones((1, aln.n_seqs), bool), aln.n_seqs)
+
+    with jax.default_matmul_precision("float32"):
+        x = build_pairs(embed_alignment(params, codes), aln.n_seqs)
+        for layer in params["layers"]:
+            x = fused_axial_block(x, layer, site_mask, pair_mask, cfg.n_heads,
+                                  interpret=True)
+        h = jax.nn.softplus(x @ params["head"]["w"] + params["head"]["b"])[..., 0]
+        preds = jnp.mean(h, axis=-1)[0]
+
+    g = np.load(goldens_dir / "pf_preds_testdata.npz")
+    err = np.abs(np.asarray(preds) - g["0_20_tips"]).max()
+    assert err < 1e-3, f"max err {err}"
