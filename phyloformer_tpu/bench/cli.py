@@ -26,6 +26,14 @@ def main(argv=None) -> int:
                     choices=["float32", "tensorfloat32", "default"])
     pp.add_argument("--pallas", action="store_true")
 
+    pr = sub.add_parser("report", help="emit topos/dists/brlens CSVs + summary")
+    pr.add_argument("true_trees")
+    pr.add_argument("matrices")
+    pr.add_argument("cmp_trees")
+    pr.add_argument("-o", "--outdir", required=True)
+    pr.add_argument("--marker", default="PF")
+    pr.add_argument("--figures", action="store_true")
+
     pt = sub.add_parser("throughput", help="synthetic-throughput benchmark")
     pt.add_argument("weights")
     pt.add_argument("--tips", type=int, default=60)
@@ -53,6 +61,16 @@ def main(argv=None) -> int:
         )
         stages = {f"{m}/{i}": v for (m, i), v in summary.pop("stages").items()}
         summary["stages"] = stages
+        print(json.dumps(summary, indent=2))
+        return 0
+
+    if args.cmd == "report":
+        from .report import full_report
+
+        summary = full_report(
+            args.true_trees, args.matrices, args.cmp_trees, args.outdir,
+            marker=args.marker, make_figures=args.figures,
+        )
         print(json.dumps(summary, indent=2))
         return 0
 

@@ -75,7 +75,40 @@ def params_from_state_dict(
 
 
 def load_pretrained(path) -> Tuple[Params, PhyloformerConfig, Dict[str, Any]]:
-    """Load a reference ``.ckpt`` → (params, config, raw hyper_parameters)."""
+    """Load model weights from any supported container.
+
+    - reference PyTorch zip ``.ckpt`` (torch-free importer);
+    - our ``.npz`` param export (:func:`..io.checkpoint.save_params_npz`);
+    - an Orbax checkpoint directory written by the trainer.
+    Returns ``(params, config, metadata)``.
+    """
+    import pathlib
+
+    p = pathlib.Path(path)
+    if p.is_dir():  # orbax checkpoint dir from pf-train
+        from .checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(p)
+        state, step = mgr.restore()
+        meta = mgr.restore_metadata()
+        mgr.close()
+        params = state["params"] if "params" in state else state
+        cfg_dict = (meta or {}).get("config", {})
+        cfg = PhyloformerConfig(**cfg_dict) if cfg_dict else _infer_config(params)
+        return params, cfg, {"step": step, **(meta or {})}
+    if p.suffix == ".npz":
+        from .checkpoint import load_params_npz
+
+        params = load_params_npz(p)
+        return params, _infer_config(params), {}
     state, hparams = load_reference_checkpoint(path)
     cfg = PhyloformerConfig.from_reference_hparams(hparams)
     return params_from_state_dict(state, cfg), cfg, hparams
+
+
+def _infer_config(params: Params) -> PhyloformerConfig:
+    """Derive the architecture from parameter shapes."""
+    d = int(np.asarray(params["embed"]["w"]).shape[1])
+    n_blocks = len(params["layers"])
+    n_heads = int(np.asarray(params["layers"][0]["row_attn"]["wq"]).shape[1])
+    return PhyloformerConfig(n_blocks=n_blocks, n_heads=n_heads, embed_dim=d)
