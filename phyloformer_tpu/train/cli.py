@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                       help="binary-search the largest fitting batch size, print, exit")
     util.add_argument("--dry-run", action="store_true",
                       help="set up everything, run one step, print summary, exit")
+    util.add_argument("--profile", action="store_true",
+                      help="trace 10 steps with jax.profiler then exit "
+                           "(reference --profile semantics)")
+    util.add_argument("--debug-nans", action="store_true",
+                      help="fail fast on NaNs in jitted computations")
     return p
 
 
@@ -180,9 +185,30 @@ def main(argv=None) -> int:
                     loaded_cfg, dropout=args.dropout
                 )
 
+    if args.debug_nans:
+        from .profiling import enable_nan_checks
+
+        enable_nan_checks()
+
     if args.find_batch_size:
         bs = find_batch_size(cfg, tcfg, mesh)
         print(json.dumps({"max_batch_size": bs}))
+        return 0
+
+    if args.profile:
+        from .profiling import profile_n_steps
+        from .trainer import create_train_state, make_train_step
+
+        state, tx = create_train_state(cfg, tcfg, params=init_params)
+        step = make_train_step(cfg, tcfg, tx, mesh=mesh)
+        log_dir = os.path.join(args.output_dir, "profile")
+        batches = iter(train_loader)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batches = (shard_batch(mesh, b) for b in batches)
+        profile_n_steps(step, state, batches, n_steps=10, log_dir=log_dir)
+        print(json.dumps({"profile_dir": log_dir, "steps": 10}))
         return 0
 
     fcfg = FitConfig(

@@ -121,6 +121,22 @@ def fit(
     stop_reason = None
     t_start = time.time()
 
+    # Preemption safety: SIGTERM/SIGINT requests a checkpoint + clean stop at
+    # the next step boundary (the reference had nothing beyond manual resume).
+    import signal
+
+    preempted = {"flag": False}
+
+    def _handle(signum, frame):
+        preempted["flag"] = True
+
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old_handlers[sig] = signal.signal(sig, _handle)
+        except ValueError:  # not main thread
+            pass
+
     def run_validation():
         nonlocal best_val, bad_checks, stop_reason
         if val_loader is None:
@@ -171,11 +187,15 @@ def fit(
                 )
             if fcfg.check_val_every and step % fcfg.check_val_every == 0:
                 run_validation()
+            if preempted["flag"]:
+                stop_reason = "preemption signal: checkpointing and stopping"
             if stop_reason or (fcfg.max_steps and step >= fcfg.max_steps):
                 stop_reason = stop_reason or f"max_steps {fcfg.max_steps} reached"
                 break
 
     run_validation()  # final val + checkpoint
+    for sig, handler in old_handlers.items():
+        signal.signal(sig, handler)
     logger.close()
     summary = {
         "state": state,

@@ -155,3 +155,29 @@ def test_fit_loop_runs_and_checkpoints(tiny_dataset, tmp_path):
     mgr = CheckpointManager(summary["checkpoint_dir"])
     assert mgr.latest_step() is not None
     mgr.close()
+
+
+def test_profiler_trace(tmp_path):
+    import pathlib
+
+    import jax
+
+    from phyloformer_tpu.data.pairs import n_pairs
+    from phyloformer_tpu.train import create_train_state, make_train_step
+    from phyloformer_tpu.train.profiling import profile_n_steps
+
+    tcfg = TrainConfig(total_steps=20, warmup_steps=2)
+    state, tx = create_train_state(SMALL, tcfg)
+    step = make_train_step(SMALL, tcfg, tx)
+    rng = np.random.default_rng(0)
+    batch = {
+        "codes": rng.integers(0, 22, (2, 6, 32)).astype(np.int32),
+        "dists": rng.uniform(0.1, 1, (2, n_pairs(6))).astype(np.float32),
+        "site_mask": np.ones((2, 32), bool),
+        "seq_mask": np.ones((2, 6), bool),
+    }
+    state, logs = profile_n_steps(step, state, iter([batch] * 3), 3, tmp_path / "prof")
+    assert np.isfinite(float(logs["train_loss"]))
+    assert list(pathlib.Path(tmp_path / "prof").rglob("*.pb")) or list(
+        pathlib.Path(tmp_path / "prof").rglob("*")
+    )
