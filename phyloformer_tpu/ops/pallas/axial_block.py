@@ -43,7 +43,9 @@ def _ln(x, scale, bias, eps=1e-5):
 
 
 def _phi(x):
-    return jax.nn.elu(x) + 1.0
+    # elu(x) + 1 without expm1 (unsupported in Pallas TPU lowering):
+    # x > 0: x + 1;  x <= 0: (exp(x) - 1) + 1 = exp(x).
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
 
 
 def _kernel_a(
