@@ -174,3 +174,63 @@ class InferenceEngine:
 
     def predict_one(self, aln: Alignment) -> np.ndarray:
         return self.predict([aln])[0]
+
+
+class ShardedInferenceEngine(InferenceEngine):
+    """Multi-chip inference: batch over the mesh 'data' axis and — for
+    alignments whose quadratic pair axis outgrows one chip's HBM — the
+    activation pair axis over the 'pair' axis (linear attention's pair-axis
+    state reduces exactly via the XLA-inserted psum; see
+    ``parallel/mesh.py``).  Multi-host: combine with per-host file sharding
+    (:func:`phyloformer_tpu.parallel.host_local_slice`)."""
+
+    def __init__(self, params, cfg, mesh, icfg: Optional[InferenceConfig] = None):
+        super().__init__(params, cfg, icfg)
+        import jax
+
+        from ..parallel.mesh import activation_pair_sharding, replicated
+
+        self.mesh = mesh
+        self._act_sharding = activation_pair_sharding(mesh)
+        self.params = jax.device_put(self.params, replicated(mesh))
+
+    def _fn_for(self, pad_n: int, pad_l: int):
+        key = (pad_n, pad_l)
+        fn = self._compiled.get(key)
+        if fn is None:
+            jax, cfg = self._jax, self.cfg
+            act_sharding = self._act_sharding
+
+            def run(params, codes, site_mask, seq_mask):
+                out = forward(
+                    params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask,
+                    act_sharding=act_sharding,
+                )
+                return out.astype(self._jnp.float32)
+
+            from ..parallel.mesh import batch_sharding, replicated
+
+            bsh, rep = batch_sharding(self.mesh), replicated(self.mesh)
+            fn = jax.jit(
+                run,
+                in_shardings=(rep, bsh, bsh, bsh),
+                out_shardings=rep,
+            )
+            self._compiled[key] = fn
+        return fn
+
+    def _plan(self, alns):
+        """Batches must be divisible by the data-axis size — pad the batch
+        list by repeating the last alignment (masked out on return? no —
+        simply rounded up in chunks; extra outputs are discarded by the
+        caller mapping)."""
+        batches = super()._plan(alns)
+        ndata = self.mesh.shape["data"]
+        fixed = []
+        for (shape, idxs) in batches:
+            # round the index list up to a multiple of ndata by repeats;
+            # predict() overwrites by idx so repeated entries are harmless
+            while len(idxs) % ndata:
+                idxs = idxs + [idxs[-1]]
+            fixed.append((shape, idxs))
+        return fixed

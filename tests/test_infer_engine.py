@@ -100,3 +100,23 @@ def test_cli_rejects_non_fasta(tmp_path):
     )
     assert res.returncode != 0
     assert "fasta" in (res.stderr + res.stdout).lower()
+
+
+def test_sharded_engine_matches_unsharded(testdata_dir):
+    """Pair-axis + data-axis sharded inference == single-device inference."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from phyloformer_tpu.infer.engine import ShardedInferenceEngine
+    from phyloformer_tpu.parallel import make_mesh
+
+    params, cfg, _ = load_pretrained(CKPT)
+    alns = [read_fasta(testdata_dir / "msas" / f"{i}_20_tips.fa") for i in range(3)]
+
+    base = InferenceEngine(params, cfg).predict(alns)
+    mesh = make_mesh(data=2, pair=4)
+    sharded = ShardedInferenceEngine(params, cfg, mesh).predict(alns)
+    for a, b in zip(base, sharded):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
