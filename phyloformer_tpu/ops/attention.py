@@ -90,6 +90,69 @@ def scaled_linear_attention(
     return out @ params["wo"] + params["bo"]
 
 
+def multi_head_attention(
+    x: jax.Array,
+    params: Dict[str, jax.Array],
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Standard softmax SDPA over axis ``-2`` — the reference's unused
+    ``MultiHeadAttention`` variant kept as an ablation op
+    (`/root/reference/phyloformer/attention.py:53-91`).  Params as in
+    :func:`scaled_linear_attention` but with ``wq/wk`` of shape ``(d, d)``.
+    """
+    d = x.shape[-1]
+    hd = d // n_heads
+
+    def split(t):
+        return t.reshape(t.shape[:-1] + (n_heads, hd))
+
+    q = split(x @ params["wq"] + params["bq"])  # (..., A, H, hd)
+    k = split(x @ params["wk"] + params["bk"])
+    v = split(x @ params["wv"] + params["bv"])
+    logits = jnp.einsum("...ahe,...bhe->...hab", q, k) / jnp.sqrt(float(hd))
+    if mask is not None:
+        bias = jnp.where(mask[..., None, None, :], 0.0, -1e30)
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("...hab,...bhe->...ahe", probs, v)
+    out = out.reshape(out.shape[:-2] + (d,))
+    return out @ params["wo"] + params["bo"]
+
+
+def linear_kernel_attention(
+    x: jax.Array,
+    params: Dict[str, jax.Array],
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Vanilla linear-kernel attention with the ``Z`` denominator — the
+    reference's unused ``LinearKernelAttention`` variant
+    (`/root/reference/phyloformer/attention.py:94-140`), full head dims.
+    """
+    d = x.shape[-1]
+    hd = d // n_heads
+
+    def split(t):
+        return t.reshape(t.shape[:-1] + (n_heads, hd))
+
+    q = phi(split(x @ params["wq"] + params["bq"]))  # (..., A, H, hd)
+    k = phi(split(x @ params["wk"] + params["bk"]))
+    v = split(x @ params["wv"] + params["bv"])
+    if mask is not None:
+        m = mask[..., None, None].astype(q.dtype)
+        q = q * m
+        k = k * m
+        v = v * m
+    ktv = jnp.einsum("...ahe,...ahf->...hef", k, v)
+    ksum = jnp.sum(k, axis=-3)  # (..., H, hd)
+    z = 1.0 / (jnp.einsum("...ahe,...he->...ah", q, ksum) + eps)
+    out = jnp.einsum("...ahe,...hef->...ahf", q, ktv) * z[..., None]
+    out = out.reshape(out.shape[:-2] + (d,))
+    return out @ params["wo"] + params["bo"]
+
+
 def layer_norm(
     x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5
 ) -> jax.Array:
