@@ -83,8 +83,9 @@ def _kernel_a(
     kn = k / k_sum
 
     v4 = v.reshape(ptile, L, n_heads, hd)
-    ctx = jnp.einsum("plh,plhe->phe", kn, v4, precision=prec,
-                     preferred_element_type=jnp.float32)
+    # elementwise-multiply + reduce (batched einsum trips a Mosaic
+    # dot_dimension_numbers parser bug in this toolchain; VPU is fine here)
+    ctx = jnp.sum(kn[:, :, :, None] * v4, axis=1)  # (Pt, H, hd)
     attn = (qn[:, :, :, None] * ctx[:, None, :, :]).reshape(ptile, L, d)
     x1 = x + mm(attn, rwo_ref[:], rbo_ref[:])
     x1_ref[0] = x1
@@ -97,8 +98,7 @@ def _kernel_a(
 
     k_part = jnp.sum(kc, axis=0)  # (L, H)
     q_part = jnp.sum(qc, axis=0)  # (L, H)
-    kv_part = jnp.einsum("plh,plhe->lhe", kc, vc, precision=prec,
-                         preferred_element_type=jnp.float32)
+    kv_part = jnp.sum(kc[:, :, :, None] * vc, axis=0)  # (L, H, hd)
 
     part = jnp.concatenate(
         [k_part[:, :, None], q_part[:, :, None], kv_part], axis=-1
