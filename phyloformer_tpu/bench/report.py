@@ -130,6 +130,33 @@ def _bipartition_lengths(nwk: str) -> Dict[frozenset, float]:
     return out
 
 
+def collect_likelihood_rows(
+    msa_dir, true_tree_dir, cmp_tree_dir, marker: str,
+    model: str = "LG", gamma_alpha: Optional[float] = None,
+) -> List[Dict]:
+    """Log-likelihood ratios inferred-vs-true (likelihoods_* schema:
+    ``marker,id,ratio`` — `/root/reference/make_plots.py:321-328`), computed
+    natively (the reference shelled out to IQ-TREE)."""
+    from ..data.fasta import read_fasta
+    from ..sim.models import get_model
+    from ..trees.likelihood import log_likelihood
+
+    m = get_model(model)
+    refs = _tree_files(true_tree_dir)
+    cmps = _tree_files(cmp_tree_dir)
+    rows = []
+    for fa in sorted(Path(msa_dir).glob("*.fa")):
+        stem = fa.stem
+        if stem not in refs or stem not in cmps:
+            continue
+        aln = read_fasta(fa, strict=False)
+        ll_cmp = log_likelihood(aln, parse_newick(cmps[stem].read_text()), m, gamma_alpha)
+        ll_ref = log_likelihood(aln, parse_newick(refs[stem].read_text()), m, gamma_alpha)
+        rows.append({"marker": marker, "id": stem,
+                     "ratio": ll_cmp / ll_ref if ll_ref else float("nan")})
+    return rows
+
+
 def distance_summary(rows: Sequence[Dict]) -> Dict[str, float]:
     """MAE / MRE / MRD over dists rows (make_plots derived metrics)."""
     ref = np.array([r["ref_dist"] for r in rows])

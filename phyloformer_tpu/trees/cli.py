@@ -33,6 +33,13 @@ def main(argv=None) -> int:
     p_fd.add_argument("--nni", action="store_true")
     p_fd.add_argument("--spr", action="store_true")
 
+    p_ll = sub.add_parser("likelihood", help="alignment log-likelihood given a tree")
+    p_ll.add_argument("alignment")
+    p_ll.add_argument("tree")
+    p_ll.add_argument("--model", default="LG")
+    p_ll.add_argument("--gamma-alpha", type=float, default=None)
+    p_ll.add_argument("--gamma-categories", type=int, default=4)
+
     p_cmp = sub.add_parser("compare", help="compare matching .nwk trees in two dirs")
     p_cmp.add_argument("refdir")
     p_cmp.add_argument("cmpdir")
@@ -62,6 +69,24 @@ def main(argv=None) -> int:
             (outdir / (phy.stem + ".nwk")).write_text(nwk + "\n")
             count += 1
         print(f"built {count} trees -> {outdir}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "likelihood":
+        import json
+
+        from ..data.fasta import read_fasta
+        from ..data.newick import read_newick
+        from ..sim.models import get_model
+        from .likelihood import log_likelihood
+
+        aln = read_fasta(args.alignment, strict=False)
+        tree = read_newick(args.tree)
+        ll = log_likelihood(
+            aln, tree, get_model(args.model),
+            gamma_alpha=args.gamma_alpha, gamma_categories=args.gamma_categories,
+        )
+        print(json.dumps({"log_likelihood": ll, "model": args.model,
+                          "n_seqs": aln.n_seqs, "seq_len": aln.seq_len}))
         return 0
 
     if args.cmd == "compare":
