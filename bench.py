@@ -49,6 +49,8 @@ def throughput(engine, alns):
 
 
 def main():
+    import os
+
     from phyloformer_tpu.data import read_fasta
     from phyloformer_tpu.infer.engine import InferenceConfig, InferenceEngine
     from phyloformer_tpu.io import load_pretrained
@@ -59,18 +61,30 @@ def main():
     alns = make_synthetic_alignments(N_ALIGNMENTS, N_TIPS, SEQ_LEN)
 
     # Accuracy gate on real testdata: fast path vs fp32-parity path.
+    # Fast path: 3-pass tf32 MXU matmuls (measured max-abs distance error
+    # ~3e-5 vs fp32) + larger token budget; PF_BENCH_PALLAS=1 additionally
+    # enables the fused Pallas kernels.
     real = [
         read_fasta(f"/root/reference/data/testdata/msas/{n}_40_tips.fa")
         for n in range(3)
     ]
+    use_pallas = os.environ.get("PF_BENCH_PALLAS", "0") == "1"
     slow_engine = InferenceEngine(params, cfg, InferenceConfig(matmul_precision="float32"))
-    fast_engine = InferenceEngine(params, cfg, InferenceConfig(matmul_precision="default"))
+    fast_engine = InferenceEngine(
+        params,
+        cfg,
+        InferenceConfig(
+            matmul_precision="tensorfloat32",
+            max_batch_tokens=1 << 23,
+            use_pallas=use_pallas,
+        ),
+    )
     ref_preds = slow_engine.predict(real)
     fast_preds = fast_engine.predict(real)
     acc_err = max(np.abs(a - b).max() for a, b in zip(ref_preds, fast_preds))
     use_fast = acc_err <= ACCURACY_GATE
-    print(f"# fast-path accuracy err={acc_err:.2e} gate={ACCURACY_GATE} use_fast={use_fast}",
-          file=sys.stderr)
+    print(f"# fast-path accuracy err={acc_err:.2e} gate={ACCURACY_GATE} "
+          f"use_fast={use_fast} pallas={use_pallas}", file=sys.stderr)
 
     engine = fast_engine if use_fast else slow_engine
     aln_per_s, preds, elapsed = throughput(engine, alns)
