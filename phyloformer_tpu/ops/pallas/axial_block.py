@@ -136,7 +136,7 @@ def _kernel_b(
     q_sum = stats[:, :, 1]
     kv = stats[:, :, 2:]  # (L, H, hd)
 
-    n_pairs = jnp.maximum(pair_count_ref[0, 0], 1.0)
+    n_pairs = jnp.maximum(pair_count_ref[pl.program_id(0), 0], 1.0)
     q_mean = q_sum / n_pairs  # (L, H)
     ctx = kv / k_sum[:, :, None]  # (L, H, hd)
 
@@ -242,7 +242,9 @@ def fused_axial_block(
     )(x, site_mask3, pair_mask3, *a_params)
 
     pair_count = jnp.sum(pair_mask.astype(jnp.float32), axis=1)[:, None]  # (B, 1)
-    count_spec = pl.BlockSpec((1, 1), lambda bi, pi: (bi, 0), memory_space=pltpu.SMEM)
+    # full-array SMEM (no per-step blocking dodges rank/tiling constraints);
+    # the kernel indexes its batch row via program_id(0)
+    count_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     b_params = [
         layer["col_norm"]["scale"], layer["col_norm"]["bias"],
