@@ -42,6 +42,12 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _gelu_exact(x):
+    # 0.5 x (1 + erf(x/sqrt(2))): Mosaic supports erf but not erfc (which
+    # jax.nn.gelu(approximate=False) lowers through).
+    return 0.5 * x * (1.0 + jax.lax.erf(x * 0.7071067811865476))
+
+
 def _phi(x):
     # elu(x) + 1 without expm1 (unsupported in Pallas TPU lowering):
     # x > 0: x + 1;  x <= 0: (exp(x) - 1) + 1 = exp(x).
@@ -145,7 +151,7 @@ def _kernel_b(
     x2 = x1 + mm(attn, cwo_ref[:], cbo_ref[:])
 
     h = _ln(x2, fn_s_ref[:], fn_b_ref[:], eps)
-    f = jax.nn.gelu(mm(h, fw1_ref[:], fb1_ref[:]), approximate=False)
+    f = _gelu_exact(mm(h, fw1_ref[:], fb1_ref[:]))
     x3_ref[0] = x2 + mm(f, fw2_ref[:], fb2_ref[:])
 
 
