@@ -9,6 +9,7 @@ from .newick import (
     read_newick,
     tree_diameter,
 )
+from .msa_tools import concat, dedup, remove_gap_columns, sample, subset, trim
 from .pairs import n_pairs, pair_indices, seq2pair_matrix, square_to_vector, vector_to_square
 from .phylip import matrix_to_phylip, read_phylip, vec_to_phylip
 

@@ -42,10 +42,22 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _erf(x):
+    # Abramowitz & Stegun 7.1.26 rational approximation (|err| <= 1.5e-7)
+    # using only exp — Mosaic's TPU lowering supports neither erf nor erfc.
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_exact(x):
-    # 0.5 x (1 + erf(x/sqrt(2))): Mosaic supports erf but not erfc (which
-    # jax.nn.gelu(approximate=False) lowers through).
-    return 0.5 * x * (1.0 + jax.lax.erf(x * 0.7071067811865476))
+    # 0.5 x (1 + erf(x/sqrt(2))) with the rational erf above.
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _phi(x):
