@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-bucketing", action="store_true",
                         help="run every alignment at its exact shape (recompiles per shape)")
     parser.add_argument("--stats", action="store_true", help="print timing stats JSON")
+    parser.add_argument("--multihost", action="store_true",
+                        help="shard the alignment list across jax processes "
+                             "(call with jax.distributed initialized; each "
+                             "host writes its own shard of outputs)")
+    parser.add_argument("--distributed-init", action="store_true",
+                        help="call jax.distributed.initialize() first")
     return parser
 
 
@@ -61,6 +67,11 @@ def main(argv=None) -> int:
     params, cfg, _ = load_pretrained(args.weights)
     load_s = time.perf_counter() - t0
 
+    if args.distributed_init:
+        import jax
+
+        jax.distributed.initialize()
+
     paths = sorted(glob(os.path.join(in_dir, "*")))
     paths = [p for p in paths if os.path.isfile(p)]
     for p in paths:
@@ -71,6 +82,14 @@ def main(argv=None) -> int:
     if not paths:
         print(f"no alignments found in {in_dir}", file=sys.stderr)
         return 1
+
+    if args.multihost:
+        from ..parallel.mesh import host_local_slice
+
+        start, stop = host_local_slice(len(paths))
+        paths = paths[start:stop]
+        if not paths:
+            return 0
 
     alns = [read_fasta(p) for p in paths]
 
