@@ -9,7 +9,7 @@ attention, FFN).  These kernels restructure one block into two passes:
   q/k/v projections, masked scaled-linear attention over the tile-resident
   site axis, output projection, residual — then, on the result, the column
   LN + k/q/v projections whose pair-axis sums (Σk, Σq, Σk·v) are accumulated
-  across grid steps into a tiny ``(L, H, hd+2)`` stats buffer.  Linear
+  across grid steps into a tiny ``(L, 2H + d)`` stats buffer.  Linear
   attention's pair-axis state is exactly these sums, so no transpose and no
   second pass over pairs is needed.
 - **Kernel B** (grid ``B x P-tiles``): recomputes the cheap column LN+q
@@ -100,11 +100,14 @@ def _kernel_a(
     qn = q / q_mean
     kn = k / k_sum
 
-    v4 = v.reshape(ptile, L, n_heads, hd)
-    # elementwise-multiply + reduce (batched einsum trips a Mosaic
-    # dot_dimension_numbers parser bug in this toolchain; VPU is fine here)
-    ctx = jnp.sum(kn[:, :, :, None] * v4, axis=1)  # (Pt, H, hd)
-    attn = (qn[:, :, :, None] * ctx[:, None, :, :]).reshape(ptile, L, d)
+    # per-head lane slices (4-D lane-splitting reshapes are unsupported by
+    # Mosaic's layout inference; H is tiny and static)
+    attn_parts = []
+    for h_i in range(n_heads):
+        v_h = v[:, :, h_i * hd : (h_i + 1) * hd]  # (Pt, L, hd)
+        ctx_h = jnp.sum(kn[:, :, h_i : h_i + 1] * v_h, axis=1)  # (Pt, hd)
+        attn_parts.append(qn[:, :, h_i : h_i + 1] * ctx_h[:, None, :])
+    attn = jnp.concatenate(attn_parts, axis=-1)  # (Pt, L, d)
     x1 = x + mm(attn, rwo_ref[:], rbo_ref[:])
     x1_ref[0] = x1
 
@@ -112,15 +115,16 @@ def _kernel_a(
     hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
     qc = _phi(mm(hc, cwq_ref[:], cbq_ref[:])) * pmask[:, None, None]  # (Pt, L, H)
     kc = _phi(mm(hc, cwk_ref[:], cbk_ref[:])) * pmask[:, None, None]
-    vc = mm(hc, cwv_ref[:], cbv_ref[:]).reshape(ptile, L, n_heads, hd)
+    vc = mm(hc, cwv_ref[:], cbv_ref[:])  # (Pt, L, d)
 
     k_part = jnp.sum(kc, axis=0)  # (L, H)
     q_part = jnp.sum(qc, axis=0)  # (L, H)
-    kv_part = jnp.sum(kc[:, :, :, None] * vc, axis=0)  # (L, H, hd)
-
-    part = jnp.concatenate(
-        [k_part[:, :, None], q_part[:, :, None], kv_part], axis=-1
-    )  # (L, H, hd + 2)
+    # kv sums flattened over (H, hd) in the lane dim: (L, d)
+    kv_parts = []
+    for h_i in range(n_heads):
+        v_h = vc[:, :, h_i * hd : (h_i + 1) * hd]
+        kv_parts.append(jnp.sum(kc[:, :, h_i : h_i + 1] * v_h, axis=0))  # (L, hd)
+    part = jnp.concatenate([k_part, q_part] + kv_parts, axis=-1)  # (L, 2H + d)
 
     @pl.when(pt == 0)
     def _init():
@@ -145,21 +149,24 @@ def _kernel_b(
     x1 = x1_ref[0]  # (Pt, L, d)
     ptile, L, d = x1.shape
     hd = d // n_heads
-    stats = stats_ref[0]  # (L, H, hd + 2)
+    stats = stats_ref[0]  # (L, 2H + d)
 
     hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
     qc = _phi(mm(hc, cwq_ref[:], cbq_ref[:]))  # (Pt, L, H)
 
-    k_sum = stats[:, :, 0]  # (L, H)
-    q_sum = stats[:, :, 1]
-    kv = stats[:, :, 2:]  # (L, H, hd)
+    k_sum = stats[:, :n_heads]  # (L, H)
+    q_sum = stats[:, n_heads : 2 * n_heads]
 
     n_pairs = jnp.maximum(pair_count_ref[pl.program_id(0), 0], 1.0)
     q_mean = q_sum / n_pairs  # (L, H)
-    ctx = kv / k_sum[:, :, None]  # (L, H, hd)
+    qn = qc / q_mean[None, :, :]  # (Pt, L, H)
 
-    qn = qc / q_mean[None, :, :]
-    attn = (qn[:, :, :, None] * ctx[None, :, :, :]).reshape(ptile, L, d)
+    attn_parts = []
+    for h_i in range(n_heads):
+        kv_h = stats[:, 2 * n_heads + h_i * hd : 2 * n_heads + (h_i + 1) * hd]
+        ctx_h = kv_h / k_sum[:, h_i : h_i + 1]  # (L, hd)
+        attn_parts.append(qn[:, :, h_i : h_i + 1] * ctx_h[None, :, :])
+    attn = jnp.concatenate(attn_parts, axis=-1)  # (Pt, L, d)
     x2 = x1 + mm(attn, cwo_ref[:], cbo_ref[:])
 
     h = _ln(x2, fn_s_ref[:], fn_b_ref[:], eps)
@@ -232,7 +239,7 @@ def fused_axial_block(
         (1, pt, 1), lambda bi, pi: (bi, pi, 0), memory_space=pltpu.VMEM
     )
     stats_spec = pl.BlockSpec(
-        (1, l, n_heads, hd + 2), lambda bi, pi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, l, 2 * n_heads + d), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
     )
 
     def w(name_dict, key):
@@ -254,7 +261,7 @@ def fused_axial_block(
         out_specs=(tile_spec, stats_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, p_pad, l, d), x.dtype),
-            jax.ShapeDtypeStruct((b, l, n_heads, hd + 2), jnp.float32),
+            jax.ShapeDtypeStruct((b, l, 2 * n_heads + d), jnp.float32),
         ),
         interpret=interpret,
     )(x, site_mask3, pair_mask3, *a_params)
