@@ -85,13 +85,14 @@ def _kernel_a(
     x = x_ref[0]  # (Pt, L, d)
     ptile, L, d = x.shape
     hd = d // n_heads
-    smask = site_mask_ref[0, :, 0].astype(x.dtype)  # (L,)
-    pmask = pair_mask_ref[0, :, 0].astype(x.dtype)  # (Pt,)
+    smask = site_mask_ref[0].astype(x.dtype)  # (L, 1) — keep 2-D (Mosaic
+    # cannot reduce offset-sliced 1-D vectors)
+    pmask = pair_mask_ref[0].astype(x.dtype)  # (Pt, 1)
 
     # ---- row sub-block: attention over the (resident) site axis ----
     h = _ln(x, rn_s_ref[:], rn_b_ref[:], eps)
-    q = _phi(mm(h, rwq_ref[:], rbq_ref[:])) * smask[None, :, None]  # (Pt, L, H)
-    k = _phi(mm(h, rwk_ref[:], rbk_ref[:])) * smask[None, :, None]
+    q = _phi(mm(h, rwq_ref[:], rbq_ref[:])) * smask[None, :, :]  # (Pt, L, H)
+    k = _phi(mm(h, rwk_ref[:], rbk_ref[:])) * smask[None, :, :]
     v = mm(h, rwv_ref[:], rbv_ref[:])  # (Pt, L, d)
 
     count = jnp.maximum(jnp.sum(smask), 1.0)
@@ -113,8 +114,8 @@ def _kernel_a(
 
     # ---- column stats on x1: partial sums over this pair tile ----
     hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
-    qc = _phi(mm(hc, cwq_ref[:], cbq_ref[:])) * pmask[:, None, None]  # (Pt, L, H)
-    kc = _phi(mm(hc, cwk_ref[:], cbk_ref[:])) * pmask[:, None, None]
+    qc = _phi(mm(hc, cwq_ref[:], cbq_ref[:])) * pmask[:, None, :]  # (Pt, L, H)
+    kc = _phi(mm(hc, cwk_ref[:], cbk_ref[:])) * pmask[:, None, :]
     vc = mm(hc, cwv_ref[:], cbv_ref[:])  # (Pt, L, d)
 
     k_part = jnp.sum(kc, axis=0)  # (L, H)
