@@ -175,12 +175,16 @@ def _kernel_b(
     x3_ref[0] = x2 + mm(f, fw2_ref[:], fb2_ref[:])
 
 
-def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 6 * 1024 * 1024) -> int:
-    """Pair-tile size: keep a handful of (Pt, L, d) fp32 tensors under budget."""
-    per_row = l * d * 4 * 5  # ~5 live tensors per tile row
+def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 2 * 1024 * 1024) -> int:
+    """Pair-tile size: keep the live tile tensors under a VMEM budget.
+
+    Counts ~10 effective live (row, L, d) tensors: the H-wide q/k tensors
+    lane-pad 4 -> 128 (32x), double-buffered input/output blocks, and the
+    per-head temporaries, so the multiplier is much larger than the naive
+    tensor count."""
+    per_row = l * d * 4 * 10
     pt = max(8, budget_bytes // max(per_row, 1))
-    pt = min(pt, p, 512)
-    # round to a multiple of 8 (fp32 sublane)
+    pt = min(pt, p, 256)
     return max(8, (pt // 8) * 8)
 
 
