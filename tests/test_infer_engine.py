@@ -120,3 +120,24 @@ def test_sharded_engine_matches_unsharded(testdata_dir):
     sharded = ShardedInferenceEngine(params, cfg, mesh).predict(alns)
     for a, b in zip(base, sharded):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_oversize_alignment_exact_shape_fallback():
+    """n beyond the largest bucket runs at its exact shape (the reference
+    caps at n=200 via the precomputed seq2pair; we don't)."""
+    from phyloformer_tpu.infer.engine import InferenceConfig, _bucketize
+
+    assert _bucketize(250, (10, 20, 50), True) == 250
+    with pytest.raises(ValueError):
+        _bucketize(250, (10, 20, 50), False)
+
+
+def test_engine_no_bucketing_mode(testdata_dir):
+    params, cfg, _ = load_pretrained(CKPT)
+    icfg = InferenceConfig(n_buckets=(), l_buckets=(), allow_oversize=True)
+    eng = InferenceEngine(params, cfg, icfg)
+    aln = read_fasta(testdata_dir / "msas" / "0_20_tips.fa")
+    plan = eng._plan([aln])
+    assert plan[0][0] == (20, 250)  # exact shape
+    vec = eng.predict([aln])[0]
+    assert vec.shape == (190,)
