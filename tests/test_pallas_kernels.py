@@ -85,3 +85,31 @@ def test_fused_forward_matches_reference_predictions(goldens_dir):
     g = np.load(goldens_dir / "pf_preds_testdata.npz")
     err = np.abs(np.asarray(preds) - g["0_20_tips"]).max()
     assert err < 1e-3, f"max err {err}"
+
+
+def test_fused_block_custom_vjp_gradients():
+    """Gradients through the fused block == gradients through the canonical
+    XLA block (remat-style backward)."""
+    from phyloformer_tpu.ops.pallas.autodiff import fused_axial_block_ad
+
+    layer = _layer(11)
+    b, p, l = 1, 28, 40
+    x = _rand_x(b, p, l, seed=9)
+    site_mask = jnp.ones((b, l), bool)
+    pair_mask = jnp.ones((b, p), bool)
+
+    def loss_fused(x, layer):
+        out = fused_axial_block_ad(x, layer, site_mask, pair_mask, CFG, True)
+        return jnp.sum(out**2)
+
+    def loss_ref(x, layer):
+        with jax.default_matmul_precision("float32"):
+            return jnp.sum(axial_block(x, layer, CFG, site_mask, pair_mask) ** 2)
+
+    with jax.default_matmul_precision("float32"):
+        v1, (gx1, gl1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x, layer)
+        v2, (gx2, gl2) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, layer)
+    assert float(v1) == pytest.approx(float(v2), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=2e-3, rtol=1e-3)
+    for a, b2 in zip(jax.tree_util.tree_leaves(gl1), jax.tree_util.tree_leaves(gl2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-3, rtol=2e-3)
