@@ -33,6 +33,14 @@ def main(argv=None) -> int:
     p_fd.add_argument("--nni", action="store_true")
     p_fd.add_argument("--spr", action="store_true")
 
+    p_ml = sub.add_parser("mlrefine", help="likelihood-scored NNI refinement of a tree")
+    p_ml.add_argument("alignment")
+    p_ml.add_argument("tree")
+    p_ml.add_argument("-o", "--output", default=None)
+    p_ml.add_argument("--model", default="LG")
+    p_ml.add_argument("--gamma-alpha", type=float, default=None)
+    p_ml.add_argument("--max-sweeps", type=int, default=3)
+
     p_ll = sub.add_parser("likelihood", help="alignment log-likelihood given a tree")
     p_ll.add_argument("alignment")
     p_ll.add_argument("tree")
@@ -69,6 +77,24 @@ def main(argv=None) -> int:
             (outdir / (phy.stem + ".nwk")).write_text(nwk + "\n")
             count += 1
         print(f"built {count} trees -> {outdir}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "mlrefine":
+        import json
+
+        from ..data.fasta import read_fasta
+        from .baselines import ml_nni_refine
+
+        aln = read_fasta(args.alignment, strict=False)
+        nwk, ll = ml_nni_refine(
+            aln, Path(args.tree).read_text(), model=args.model,
+            gamma_alpha=args.gamma_alpha, max_sweeps=args.max_sweeps,
+        )
+        if args.output:
+            Path(args.output).write_text(nwk + "\n")
+        else:
+            print(nwk)
+        print(json.dumps({"log_likelihood": ll}), file=sys.stderr)
         return 0
 
     if args.cmd == "likelihood":
