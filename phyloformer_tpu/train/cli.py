@@ -264,8 +264,11 @@ def find_batch_size(cfg, tcfg, mesh, n=50, L=512, start=4, limit=4096) -> int:
             }
             if mesh is not None:
                 from ..parallel.mesh import shard_batch
+                from .trainer import pad_batch_to_multiple
 
-                batch = shard_batch(mesh, batch)
+                batch = shard_batch(
+                    mesh, pad_batch_to_multiple(batch, mesh.shape.get("data", 1))
+                )
             state, logs = step(state, batch, jax.random.PRNGKey(0))
             jax.block_until_ready(logs["train_loss"])
             return True

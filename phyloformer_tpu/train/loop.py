@@ -107,9 +107,12 @@ def fit(
 
     if mesh is not None:
         from ..parallel.mesh import shard_batch as _shard
+        from .trainer import pad_batch_to_multiple
+
+        ndata = mesh.shape.get("data", 1)
 
         def prep(batch):
-            return _shard(mesh, batch)
+            return _shard(mesh, pad_batch_to_multiple(batch, ndata))
     else:
         def prep(batch):
             return batch
@@ -173,8 +176,22 @@ def fit(
             state, logs = train_step(state, prep(batch), key)
             step = int(state["step"])
             train_loss = float(logs["train_loss"])
-            if not math.isfinite(train_loss) or train_loss > fcfg.hard_loss_ceiling:
+            if not math.isfinite(train_loss):
                 stop_reason = f"divergence stop: train_loss={train_loss}"
+                logger.log(step, train_loss=train_loss, event="divergence_stop")
+                break
+            # Loss-ceiling divergence stop is checked at validation boundaries
+            # (Lightning EarlyStopping semantics — not on the very first steps
+            # where an untrained model may legitimately exceed the ceiling).
+            if (
+                fcfg.check_val_every
+                and step % fcfg.check_val_every == 0
+                and train_loss > fcfg.hard_loss_ceiling
+            ):
+                stop_reason = (
+                    f"divergence stop: train_loss={train_loss} > "
+                    f"{fcfg.hard_loss_ceiling}"
+                )
                 logger.log(step, train_loss=train_loss, event="divergence_stop")
                 break
             if step % fcfg.log_every == 0:

@@ -167,6 +167,24 @@ def make_eval_step(
     return jax.jit(eval_fn)
 
 
+def pad_batch_to_multiple(batch: Dict[str, np.ndarray], multiple: int) -> Dict[str, np.ndarray]:
+    """Pad the batch axis to a multiple (mesh data-axis divisibility) with
+    fully-masked rows — they contribute nothing to masked losses/metrics."""
+    bsz = batch["codes"].shape[0]
+    target = -(-bsz // multiple) * multiple
+    if target == bsz:
+        return batch
+    pad = target - bsz
+    out = {}
+    for key, arr in batch.items():
+        if arr is None:
+            out[key] = None
+            continue
+        pad_block = np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)
+        out[key] = np.concatenate([arr, pad_block], axis=0)
+    return out
+
+
 def make_batch(
     alns, trees_vecs, pad_n: int, pad_l: int
 ) -> Dict[str, np.ndarray]:
