@@ -72,6 +72,12 @@ def scaled_linear_attention(
         count = jnp.sum(m, axis=-2, keepdims=True)  # (..., 1, 1)
         q_mean = jnp.sum(q, axis=-2, keepdims=True) / jnp.maximum(count, 1.0)
         k_sum = jnp.sum(k, axis=-2, keepdims=True)
+        # Fully-masked axes (padding-only batch rows) give zero sums; 0/0
+        # would be NaN — masked out of any loss, but NaN poisons gradients
+        # (NaN * 0 = NaN in the backward pass). Substitute 1 — the outputs
+        # there are masked garbage either way.
+        q_mean = jnp.where(q_mean > 0, q_mean, 1.0)
+        k_sum = jnp.where(k_sum > 0, k_sum, 1.0)
     else:
         q_mean = jnp.mean(q, axis=-2, keepdims=True)
         k_sum = jnp.sum(k, axis=-2, keepdims=True)

@@ -98,6 +98,9 @@ def _kernel_a(
     count = jnp.maximum(jnp.sum(smask), 1.0)
     q_mean = jnp.sum(q, axis=1, keepdims=True) / count  # (Pt, 1, H)
     k_sum = jnp.sum(k, axis=1, keepdims=True)  # (Pt, 1, H)
+    # zero-sum guard (fully-masked axes): avoids NaN propagation
+    q_mean = jnp.where(q_mean > 0, q_mean, 1.0)
+    k_sum = jnp.where(k_sum > 0, k_sum, 1.0)
     qn = q / q_mean
     kn = k / k_sum
 
@@ -160,6 +163,8 @@ def _kernel_b(
 
     n_pairs = jnp.maximum(pair_count_ref[pl.program_id(0), 0], 1.0)
     q_mean = q_sum / n_pairs  # (L, H)
+    q_mean = jnp.where(q_mean > 0, q_mean, 1.0)
+    k_sum = jnp.where(k_sum > 0, k_sum, 1.0)
     qn = qc / q_mean[None, :, :]  # (Pt, L, H)
 
     attn_parts = []

@@ -45,7 +45,7 @@ def test_train_cli_end_to_end(sim_dataset, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-800:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
-    assert summary["steps"] >= 3
+    assert summary["steps"] >= 3, (summary, r.stdout[-500:])
     metrics = (tmp_path / "cli_smoke_metrics.jsonl").read_text().splitlines()
     assert any("train_loss" in ln for ln in metrics)
 

@@ -121,3 +121,20 @@ def test_metrics_shapes():
     m = metrics(p, t)
     assert float(m["mae"]) == pytest.approx(0.5)
     assert float(m["mre"]) == pytest.approx(0.5, rel=1e-6)
+
+
+def test_fully_padded_batch_rows_give_finite_gradients():
+    """Regression: fully-masked (mesh-padding) rows used to produce NaN
+    gradients through the attention normalizations (0/0 masked in the loss
+    but poisoning backward)."""
+    from phyloformer_tpu.train.trainer import pad_batch_to_multiple
+
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+    state, tx = create_train_state(SMALL, tcfg)
+    step = make_train_step(SMALL, tcfg, tx)
+    batch = pad_batch_to_multiple(toy_batch(bsz=3), 8)
+    assert batch["codes"].shape[0] == 8
+    assert not batch["seq_mask"][3:].any()
+    state, logs = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["train_loss"]))
+    assert np.isfinite(float(logs["grad_norm"])), "NaN gradients from padded rows"
