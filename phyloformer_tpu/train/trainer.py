@@ -42,6 +42,10 @@ class TrainConfig:
     remat: bool = False
     seed: int = 1337  # reference seed (train_distributed.py:392)
     shard_pairs: bool = False  # shard the pair axis over the 'pair' mesh axis
+    # Use the fused Pallas kernels for the forward pass (custom VJP: backward
+    # re-traces the canonical XLA block, remat-style). Deterministic only
+    # (dropout=0, the published-checkpoint setting).
+    use_pallas: bool = False
 
 
 TrainState = Dict[str, Any]  # {'params', 'opt_state', 'step'}
@@ -75,21 +79,53 @@ def create_train_state(
 
 
 def _batch_loss(params, batch, cfg, tcfg, loss_fn, dropout_key, act_sharding):
-    preds = forward(
-        params,
-        batch["codes"],
-        cfg,
-        site_mask=batch.get("site_mask"),
-        seq_mask=batch.get("seq_mask"),
-        dropout_key=dropout_key,
-        remat=tcfg.remat,
-        act_sharding=act_sharding,
-    )
+    if tcfg.use_pallas:
+        if cfg.dropout:
+            raise ValueError("use_pallas training requires dropout=0")
+        preds = _forward_pallas_ad(params, batch, cfg)
+    else:
+        preds = forward(
+            params,
+            batch["codes"],
+            cfg,
+            site_mask=batch.get("site_mask"),
+            seq_mask=batch.get("seq_mask"),
+            dropout_key=dropout_key,
+            remat=tcfg.remat,
+            act_sharding=act_sharding,
+        )
     pair_mask = None
     if batch.get("seq_mask") is not None:
         pair_mask = pair_mask_from_seq_mask(batch["seq_mask"], batch["codes"].shape[1])
     loss = loss_fn(preds, batch["dists"], pair_mask)
     return loss, (preds, pair_mask)
+
+
+def _forward_pallas_ad(params, batch, cfg):
+    """Fused-kernel forward with the custom-VJP (remat) backward."""
+    from ..models.phyloformer import build_pairs, embed_alignment
+    from ..ops.pallas.autodiff import fused_axial_block_ad
+
+    codes = batch["codes"]
+    b, n_seqs, seq_len = codes.shape
+    site_mask = batch.get("site_mask")
+    seq_mask = batch.get("seq_mask")
+    if site_mask is None:
+        site_mask = jnp.ones((b, seq_len), bool)
+    if seq_mask is None:
+        seq_mask = jnp.ones((b, n_seqs), bool)
+    pair_mask = pair_mask_from_seq_mask(seq_mask, n_seqs)
+    mxu = "highest" if cfg.matmul_precision == "float32" else "default"
+    interpret = jax.default_backend() != "tpu"  # compiled Pallas is TPU-only
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        x = build_pairs(embed_alignment(params, codes), n_seqs)
+        for layer in params["layers"]:
+            x = fused_axial_block_ad(
+                x, layer, site_mask, pair_mask, cfg, interpret, mxu
+            )
+        h = jax.nn.softplus(x @ params["head"]["w"] + params["head"]["b"])[..., 0]
+        m = site_mask[:, None, :].astype(h.dtype)
+        return jnp.sum(h * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
 
 
 def make_train_step(

@@ -138,3 +138,23 @@ def test_fully_padded_batch_rows_give_finite_gradients():
     state, logs = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(logs["train_loss"]))
     assert np.isfinite(float(logs["grad_norm"])), "NaN gradients from padded rows"
+
+
+def test_pallas_train_step_matches_xla():
+    """use_pallas training (fused fwd + remat bwd) == XLA training step."""
+    tcfg_x = TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=50)
+    tcfg_p = TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=50,
+                         use_pallas=True)
+    cfg = PhyloformerConfig(n_blocks=2, n_heads=4, embed_dim=32)
+    batch = toy_batch(bsz=2, n=7, L=24)
+
+    s1, tx1 = create_train_state(cfg, tcfg_x)
+    s2, tx2 = create_train_state(cfg, tcfg_p)
+    step1 = make_train_step(cfg, tcfg_x, tx1)
+    step2 = make_train_step(cfg, tcfg_p, tx2)
+    s1, l1 = step1(s1, batch, jax.random.PRNGKey(0))
+    s2, l2 = step2(s2, batch, jax.random.PRNGKey(0))
+    assert float(l1["train_loss"]) == pytest.approx(float(l2["train_loss"]), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
