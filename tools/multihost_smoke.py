@@ -1,0 +1,70 @@
+"""Two-process jax.distributed training smoke (multi-host fake on CPU).
+
+Each process owns 4 virtual CPU devices; the global mesh is
+('data'=8, 'pair'=1) spanning both processes.  Every process feeds its local
+shard of a global batch; XLA reduces gradients across processes.  Success
+criterion: both processes finish one step and report the SAME finite loss
+(printed as JSON on stdout).
+
+Usage (the test launches both):
+    python tools/multihost_smoke.py <process_id> <num_processes> <coord_port>
+"""
+
+import json
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from phyloformer_tpu.data.pairs import n_pairs  # noqa: E402
+from phyloformer_tpu.models import PhyloformerConfig  # noqa: E402
+from phyloformer_tpu.parallel import batch_sharding, make_mesh  # noqa: E402
+from phyloformer_tpu.train import TrainConfig, create_train_state, make_train_step  # noqa: E402
+
+cfg = PhyloformerConfig(n_blocks=1, n_heads=2, embed_dim=16)
+tcfg = TrainConfig(total_steps=10, warmup_steps=1)
+
+mesh = make_mesh(data=len(jax.devices()), pair=1)
+assert len(jax.devices()) == 4 * nproc, jax.devices()
+
+state, tx = create_train_state(cfg, tcfg)
+step = make_train_step(cfg, tcfg, tx, mesh=mesh)
+
+# Global batch of 8; every process materializes the full array host-side and
+# contributes its local shard.
+rng = np.random.default_rng(0)
+B, n, L = 8, 6, 32
+global_batch = {
+    "codes": rng.integers(0, 22, (B, n, L)).astype(np.int32),
+    "dists": rng.uniform(0.1, 1.0, (B, n_pairs(n))).astype(np.float32),
+    "site_mask": np.ones((B, L), bool),
+    "seq_mask": np.ones((B, n), bool),
+}
+sharding = batch_sharding(mesh)
+batch = {
+    k: jax.make_array_from_process_local_data(sharding, v[pid * (B // nproc):(pid + 1) * (B // nproc)])
+    for k, v in global_batch.items()
+}
+
+state, logs = step(state, batch, jax.random.PRNGKey(0))
+loss = float(logs["train_loss"])
+print(json.dumps({"process": pid, "loss": loss, "devices": len(jax.devices())}))
+jax.distributed.shutdown()
