@@ -26,6 +26,17 @@ def main(argv=None) -> int:
                     choices=["float32", "tensorfloat32", "default"])
     pp.add_argument("--pallas", action="store_true")
 
+    pc = sub.add_parser(
+        "crossmatrix",
+        help="model-misspecification matrix: every checkpoint x every dataset",
+    )
+    pc.add_argument("--models", nargs="+", required=True,
+                    help="checkpoints (name=path or path; stem used as name)")
+    pc.add_argument("--datasets", nargs="+", required=True,
+                    help="datasets as name=msa_dir:tree_dir")
+    pc.add_argument("-o", "--outdir", required=True)
+    pc.add_argument("--precision", default="float32")
+
     pr = sub.add_parser("report", help="emit topos/dists/brlens CSVs + summary")
     pr.add_argument("true_trees")
     pr.add_argument("matrices")
@@ -61,6 +72,29 @@ def main(argv=None) -> int:
         )
         stages = {f"{m}/{i}": v for (m, i), v in summary.pop("stages").items()}
         summary["stages"] = stages
+        print(json.dumps(summary, indent=2))
+        return 0
+
+    if args.cmd == "crossmatrix":
+        from pathlib import Path
+
+        from .crossmatrix import run_crossmatrix
+
+        models = {}
+        for spec in args.models:
+            if "=" in spec:
+                name, path = spec.split("=", 1)
+            else:
+                name, path = Path(spec).stem, spec
+            models[name] = path
+        datasets = {}
+        for spec in args.datasets:
+            name, rest = spec.split("=", 1)
+            msa_dir, tree_dir = rest.split(":", 1)
+            datasets[name] = (msa_dir, tree_dir)
+        summary = run_crossmatrix(
+            models, datasets, args.outdir, precision=args.precision
+        )
         print(json.dumps(summary, indent=2))
         return 0
 
