@@ -24,8 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pf-train", description="Train Phyloformer-TPU")
 
     data = p.add_argument_group("data")
-    data.add_argument("--train-trees", "-t", required=True)
-    data.add_argument("--train-alignments", "-a", required=True)
+    data.add_argument("--train-trees", "-t", default=None)
+    data.add_argument("--train-alignments", "-a", default=None)
+    data.add_argument("--packed-data", default=None,
+                      help="preprocessed shard dir from pf-preprocess "
+                           "(alternative to --train-trees/--train-alignments)")
     data.add_argument("--val-trees", "-T", default=None)
     data.add_argument("--val-alignments", "-A", default=None)
     data.add_argument("--train-regex", "-r", default=None)
@@ -122,19 +125,31 @@ def main(argv=None) -> int:
         dropout=args.dropout,
     )
 
-    train_pairs, val_pairs = choose_data(
-        args.train_trees,
-        args.train_alignments,
-        args.val_trees,
-        args.val_alignments,
-        args.train_regex,
-        args.val_regex,
-        seed=args.seed,
-    )
-    if not train_pairs:
-        print("no training pairs found", file=sys.stderr)
-        return 1
-    print(f"train examples: {len(train_pairs)}, val examples: {len(val_pairs)}")
+    packed_ds = None
+    if args.packed_data:
+        from .packed import PackedDataset
+
+        packed_ds = PackedDataset(args.packed_data)
+        train_pairs, val_pairs = [None] * len(packed_ds), []
+        print(f"packed train examples: {len(packed_ds)}")
+    else:
+        if not (args.train_trees and args.train_alignments):
+            print("need --train-trees/--train-alignments or --packed-data",
+                  file=sys.stderr)
+            return 1
+        train_pairs, val_pairs = choose_data(
+            args.train_trees,
+            args.train_alignments,
+            args.val_trees,
+            args.val_alignments,
+            args.train_regex,
+            args.val_regex,
+            seed=args.seed,
+        )
+        if not train_pairs:
+            print("no training pairs found", file=sys.stderr)
+            return 1
+        print(f"train examples: {len(train_pairs)}, val examples: {len(val_pairs)}")
 
     n_devices = len(jax.devices())
     mesh = None
@@ -161,8 +176,18 @@ def main(argv=None) -> int:
     if nw is None:
         nw = max(1, min(8, (os.cpu_count() or 2) - 1))
     lcfg = LoaderConfig(batch_size=args.batch_size, num_workers=nw, seed=args.seed)
-    train_loader = BucketedLoader(train_pairs, lcfg)
-    val_loader = BucketedLoader(val_pairs, dataclasses.replace(lcfg, shuffle=False)) if val_pairs else None
+    if packed_ds is not None:
+        from .packed import PackedBucketedLoader
+
+        train_loader = PackedBucketedLoader(packed_ds, lcfg)
+        val_loader = None
+    else:
+        train_loader = BucketedLoader(train_pairs, lcfg)
+        val_loader = (
+            BucketedLoader(val_pairs, dataclasses.replace(lcfg, shuffle=False))
+            if val_pairs
+            else None
+        )
 
     init_params = None
     if args.base_model:

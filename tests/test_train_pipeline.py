@@ -181,3 +181,34 @@ def test_profiler_trace(tmp_path):
     assert list(pathlib.Path(tmp_path / "prof").rglob("*.pb")) or list(
         pathlib.Path(tmp_path / "prof").rglob("*")
     )
+
+
+def test_packed_dataset_roundtrip(tiny_dataset, tmp_path):
+    """Preprocessed shards reproduce the parsed examples exactly, and the
+    packed loader covers every example with the standard batch schema."""
+    from phyloformer_tpu.train.data import load_example, make_pairs
+    from phyloformer_tpu.train.packed import (
+        PackedBucketedLoader,
+        PackedDataset,
+        preprocess,
+    )
+
+    trees, alns = tiny_dataset
+    pairs = make_pairs(trees, alns)
+    out = preprocess(pairs, tmp_path / "packed", shard_size=3)
+    ds = PackedDataset(out)
+    assert len(ds) == len(pairs)
+    for i, (tree_path, aln_path) in enumerate(pairs):
+        ref_aln, ref_vec = load_example(tree_path, aln_path)
+        aln, vec = ds[i]
+        np.testing.assert_array_equal(aln.codes, ref_aln.codes)
+        np.testing.assert_allclose(vec, ref_vec, rtol=1e-6)
+
+    loader = PackedBucketedLoader(
+        ds, LoaderConfig(batch_size=2, n_buckets=(6, 8), l_buckets=(64,), num_workers=1)
+    )
+    seen = 0
+    for batch in loader:
+        assert set(batch) == {"codes", "dists", "site_mask", "seq_mask"}
+        seen += batch["codes"].shape[0]
+    assert seen == len(pairs)
