@@ -156,3 +156,56 @@ def test_reference_testdata_loads(testdata_dir):
     vec = patristic_vector(tree, aln.ids)
     assert vec.shape == (190,)
     assert (vec > 0).all()
+
+
+def test_newick_fuzz_roundtrip():
+    """Random trees (incl. odd labels) survive print->parse->distance."""
+    import random as _random
+
+    from phyloformer_tpu.data.newick import Node
+
+    rng = np.random.default_rng(0)
+    pyrng = _random.Random(0)
+    for trial in range(15):
+        n = int(rng.integers(3, 40))
+        labels = [
+            pyrng.choice([f"T{i}", f"sp {i}", f"x'{i}", f"a:b_{i}"]) for i in range(n)
+        ]
+        nodes = [Node(lbl, float(rng.uniform(0.001, 5))) for lbl in labels]
+        while len(nodes) > 2:
+            i, j = sorted(rng.choice(len(nodes), 2, replace=False))
+            parent = Node("", float(rng.uniform(0.001, 5)))
+            parent.add_child(nodes[i]); parent.add_child(nodes[j])
+            nodes = [nodes[k] for k in range(len(nodes)) if k not in (i, j)] + [parent]
+        root = Node("")
+        for c in nodes:
+            root.add_child(c)
+        text = root.to_newick()
+        again = parse_newick(text)
+        order = sorted(root.leaf_names())
+        m1, _ = patristic_matrix(root, order)
+        m2, _ = patristic_matrix(again, order)
+        np.testing.assert_allclose(m1, m2, rtol=1e-9)
+
+
+def test_engine_fuzz_shapes():
+    """Random (n, L) mixes through the batched engine: outputs well-formed."""
+    from phyloformer_tpu.data.fasta import Alignment
+    from phyloformer_tpu.infer.engine import InferenceConfig, InferenceEngine
+    from phyloformer_tpu.models import PhyloformerConfig, init_params
+    import jax
+
+    rng = np.random.default_rng(1)
+    cfg = PhyloformerConfig(n_blocks=1, n_heads=2, embed_dim=16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    eng = InferenceEngine(params, cfg, InferenceConfig(n_buckets=(8, 16), l_buckets=(32, 64)))
+    alns = []
+    for _ in range(7):
+        n = int(rng.integers(4, 17))
+        L = int(rng.integers(10, 65))
+        alns.append(Alignment(codes=rng.integers(0, 22, (n, L)).astype(np.int8),
+                              ids=[f"t{k}" for k in range(n)]))
+    preds = eng.predict(alns)
+    for a, v in zip(alns, preds):
+        assert v.shape == (a.n_seqs * (a.n_seqs - 1) // 2,)
+        assert np.isfinite(v).all() and (v >= 0).all()

@@ -113,3 +113,20 @@ def test_fused_block_custom_vjp_gradients():
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=2e-3, rtol=1e-3)
     for a, b2 in zip(jax.tree_util.tree_leaves(gl1), jax.tree_util.tree_leaves(gl2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-3, rtol=2e-3)
+
+
+def test_fused_block_other_architecture():
+    """Kernels are shape-generic: d=32, H=2 (non-default architecture)."""
+    cfg = PhyloformerConfig(n_blocks=1, n_heads=2, embed_dim=32)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    layer = params["layers"][0]
+    b, p, l = 2, 21, 48
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(b, p, l, 32)).astype(np.float32))
+    site_mask = jnp.ones((b, l), bool)
+    pair_mask = jnp.ones((b, p), bool)
+    with jax.default_matmul_precision("float32"):
+        want = axial_block(x, layer, cfg, site_mask, pair_mask)
+        got = fused_axial_block(x, layer, site_mask, pair_mask, cfg.n_heads,
+                                interpret=True)
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-4
