@@ -66,6 +66,15 @@ def _phi(x):
     return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
 
 
+def _expand_heads(t, hd: int, interpret: bool):
+    """(..., H) -> (..., H*hd) by repeating each head value over its value
+    block (head-major), so all subsequent elementwise work runs on lane-full
+    d-wide tensors instead of 32x-padded H-wide ones."""
+    if interpret:
+        return jnp.repeat(t, hd, axis=-1)
+    return pltpu.repeat(t, hd, axis=t.ndim - 1)
+
+
 def _kernel_a(
     # inputs
     x_ref, site_mask_ref, pair_mask_ref,
@@ -75,7 +84,7 @@ def _kernel_a(
     cwv_ref, cbv_ref,
     # outputs
     x1_ref, stats_ref,
-    *, n_heads: int, eps: float, prec,
+    *, n_heads: int, eps: float, prec, interpret: bool,
 ):
     def mm(a, w, b):
         return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
@@ -90,45 +99,43 @@ def _kernel_a(
     pmask = pair_mask_ref[0].astype(x.dtype)  # (Pt, 1)
 
     # ---- row sub-block: attention over the (resident) site axis ----
+    # Heads are expanded to d-wide tensors immediately (head-major value
+    # blocks): per-head q/k are scalars, so broadcasting them across each
+    # head's value block turns every attention step into a lane-full
+    # elementwise op — no (.., H=4) lane-padded traffic, no per-head loops.
     h = _ln(x, rn_s_ref[:], rn_b_ref[:], eps)
-    q = _phi(mm(h, rwq_ref[:], rbq_ref[:])) * smask[None, :, :]  # (Pt, L, H)
-    k = _phi(mm(h, rwk_ref[:], rbk_ref[:])) * smask[None, :, :]
+    q = _expand_heads(_phi(mm(h, rwq_ref[:], rbq_ref[:])), hd, interpret)
+    k = _expand_heads(_phi(mm(h, rwk_ref[:], rbk_ref[:])), hd, interpret)
+    q = q * smask[None, :, :]  # (Pt, L, d)
+    k = k * smask[None, :, :]
     v = mm(h, rwv_ref[:], rbv_ref[:])  # (Pt, L, d)
 
     count = jnp.maximum(jnp.sum(smask), 1.0)
-    q_mean = jnp.sum(q, axis=1, keepdims=True) / count  # (Pt, 1, H)
-    k_sum = jnp.sum(k, axis=1, keepdims=True)  # (Pt, 1, H)
+    q_mean = jnp.sum(q, axis=1, keepdims=True) / count  # (Pt, 1, d)
+    k_sum = jnp.sum(k, axis=1, keepdims=True)  # (Pt, 1, d)
     # zero-sum guard (fully-masked axes): avoids NaN propagation
     q_mean = jnp.where(q_mean > 0, q_mean, 1.0)
     k_sum = jnp.where(k_sum > 0, k_sum, 1.0)
     qn = q / q_mean
     kn = k / k_sum
 
-    # per-head lane slices (4-D lane-splitting reshapes are unsupported by
-    # Mosaic's layout inference; H is tiny and static)
-    attn_parts = []
-    for h_i in range(n_heads):
-        v_h = v[:, :, h_i * hd : (h_i + 1) * hd]  # (Pt, L, hd)
-        ctx_h = jnp.sum(kn[:, :, h_i : h_i + 1] * v_h, axis=1)  # (Pt, hd)
-        attn_parts.append(qn[:, :, h_i : h_i + 1] * ctx_h[:, None, :])
-    attn = jnp.concatenate(attn_parts, axis=-1)  # (Pt, L, d)
+    ctx = jnp.sum(kn * v, axis=1)  # (Pt, d) — per-head blocks of k-weighted v
+    attn = qn * ctx[:, None, :]  # (Pt, L, d)
     x1 = x + mm(attn, rwo_ref[:], rbo_ref[:])
     x1_ref[0] = x1
 
     # ---- column stats on x1: partial sums over this pair tile ----
     hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
-    qc = _phi(mm(hc, cwq_ref[:], cbq_ref[:])) * pmask[:, None, :]  # (Pt, L, H)
-    kc = _phi(mm(hc, cwk_ref[:], cbk_ref[:])) * pmask[:, None, :]
+    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret)
+    kc = _expand_heads(_phi(mm(hc, cwk_ref[:], cbk_ref[:])), hd, interpret)
+    qc = qc * pmask[:, None, :]  # (Pt, L, d)
+    kc = kc * pmask[:, None, :]
     vc = mm(hc, cwv_ref[:], cbv_ref[:])  # (Pt, L, d)
 
-    k_part = jnp.sum(kc, axis=0)  # (L, H)
-    q_part = jnp.sum(qc, axis=0)  # (L, H)
-    # kv sums flattened over (H, hd) in the lane dim: (L, d)
-    kv_parts = []
-    for h_i in range(n_heads):
-        v_h = vc[:, :, h_i * hd : (h_i + 1) * hd]
-        kv_parts.append(jnp.sum(kc[:, :, h_i : h_i + 1] * v_h, axis=0))  # (L, hd)
-    part = jnp.concatenate([k_part, q_part] + kv_parts, axis=-1)  # (L, 2H + d)
+    k_part = jnp.sum(kc, axis=0)  # (L, d)
+    q_part = jnp.sum(qc, axis=0)  # (L, d)
+    kv_part = jnp.sum(kc * vc, axis=0)  # (L, d)
+    part = jnp.concatenate([k_part, q_part, kv_part], axis=-1)  # (L, 3d)
 
     @pl.when(pt == 0)
     def _init():
@@ -144,7 +151,7 @@ def _kernel_b(
     cn_s_ref, cn_b_ref, cwq_ref, cbq_ref, cwo_ref, cbo_ref,
     fn_s_ref, fn_b_ref, fw1_ref, fb1_ref, fw2_ref, fb2_ref,
     x3_ref,
-    *, n_heads: int, eps: float, prec,
+    *, n_heads: int, eps: float, prec, interpret: bool,
 ):
     def mm(a, w, b):
         return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
@@ -153,26 +160,22 @@ def _kernel_b(
     x1 = x1_ref[0]  # (Pt, L, d)
     ptile, L, d = x1.shape
     hd = d // n_heads
-    stats = stats_ref[0]  # (L, 2H + d)
+    stats = stats_ref[0]  # (L, 3d) — Σk, Σq, Σk·v in head-expanded layout
 
     hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
-    qc = _phi(mm(hc, cwq_ref[:], cbq_ref[:]))  # (Pt, L, H)
+    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret)
 
-    k_sum = stats[:, :n_heads]  # (L, H)
-    q_sum = stats[:, n_heads : 2 * n_heads]
+    k_sum = stats[:, :d]  # (L, d)
+    q_sum = stats[:, d : 2 * d]
+    kv = stats[:, 2 * d :]
 
     n_pairs = jnp.maximum(pair_count_ref[pl.program_id(0), 0], 1.0)
-    q_mean = q_sum / n_pairs  # (L, H)
+    q_mean = q_sum / n_pairs  # (L, d)
     q_mean = jnp.where(q_mean > 0, q_mean, 1.0)
     k_sum = jnp.where(k_sum > 0, k_sum, 1.0)
-    qn = qc / q_mean[None, :, :]  # (Pt, L, H)
+    ctx = kv / k_sum  # (L, d)
 
-    attn_parts = []
-    for h_i in range(n_heads):
-        kv_h = stats[:, 2 * n_heads + h_i * hd : 2 * n_heads + (h_i + 1) * hd]
-        ctx_h = kv_h / k_sum[:, h_i : h_i + 1]  # (L, hd)
-        attn_parts.append(qn[:, :, h_i : h_i + 1] * ctx_h[None, :, :])
-    attn = jnp.concatenate(attn_parts, axis=-1)  # (Pt, L, d)
+    attn = (qc / q_mean[None, :, :]) * ctx[None, :, :]  # (Pt, L, d)
     x2 = x1 + mm(attn, cwo_ref[:], cbo_ref[:])
 
     h = _ln(x2, fn_s_ref[:], fn_b_ref[:], eps)
@@ -180,14 +183,12 @@ def _kernel_b(
     x3_ref[0] = x2 + mm(f, fw2_ref[:], fb2_ref[:])
 
 
-def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 2 * 1024 * 1024) -> int:
+def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 4 * 1024 * 1024) -> int:
     """Pair-tile size: keep the live tile tensors under a VMEM budget.
 
-    Counts ~10 effective live (row, L, d) tensors: the H-wide q/k tensors
-    lane-pad 4 -> 128 (32x), double-buffered input/output blocks, and the
-    per-head temporaries, so the multiplier is much larger than the naive
-    tensor count."""
-    per_row = l * d * 4 * 10
+    With head-expanded d-wide tensors throughout, ~7 live (row, L, d)
+    buffers (incl. double-buffered in/out blocks) bound the footprint."""
+    per_row = l * d * 4 * 7
     pt = max(8, budget_bytes // max(per_row, 1))
     pt = min(pt, p, 256)
     return max(8, (pt // 8) * 8)
@@ -249,7 +250,7 @@ def fused_axial_block(
         (1, pt, 1), lambda bi, pi: (bi, pi, 0), memory_space=pltpu.VMEM
     )
     stats_spec = pl.BlockSpec(
-        (1, l, 2 * n_heads + d), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
+        (1, l, 3 * d), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
     )
 
     def w(name_dict, key):
@@ -265,13 +266,13 @@ def fused_axial_block(
         ca["wq"], ca["bq"], ca["wk"], ca["bk"], ca["wv"], ca["bv"],
     ]
     x1, stats = pl.pallas_call(
-        functools.partial(_kernel_a, n_heads=n_heads, eps=eps, prec=prec),
+        functools.partial(_kernel_a, n_heads=n_heads, eps=eps, prec=prec, interpret=interpret),
         grid=grid,
         in_specs=[tile_spec, smask_spec, pmask_spec] + [full(p_) for p_ in a_params],
         out_specs=(tile_spec, stats_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, p_pad, l, d), x.dtype),
-            jax.ShapeDtypeStruct((b, l, 2 * n_heads + d), jnp.float32),
+            jax.ShapeDtypeStruct((b, l, 3 * d), jnp.float32),
         ),
         interpret=interpret,
     )(x, site_mask3, pair_mask3, *a_params)
@@ -288,7 +289,7 @@ def fused_axial_block(
         ffn["w1"], ffn["b1"], ffn["w2"], ffn["b2"],
     ]
     x3 = pl.pallas_call(
-        functools.partial(_kernel_b, n_heads=n_heads, eps=eps, prec=prec),
+        functools.partial(_kernel_b, n_heads=n_heads, eps=eps, prec=prec, interpret=interpret),
         grid=grid,
         in_specs=[tile_spec, stats_spec, pmask_spec, count_spec]
         + [full(p_) for p_ in b_params],
