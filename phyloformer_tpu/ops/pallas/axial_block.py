@@ -69,10 +69,21 @@ def _phi(x):
 def _expand_heads(t, hd: int, interpret: bool):
     """(..., H) -> (..., H*hd) by repeating each head value over its value
     block (head-major), so all subsequent elementwise work runs on lane-full
-    d-wide tensors instead of 32x-padded H-wide ones."""
+    d-wide tensors instead of 32x-padded H-wide ones.
+
+    Implemented as a matmul with a constant 0/1 block-expansion matrix —
+    cheap on the MXU and layout-friendly (pltpu.repeat provokes VMEM-hungry
+    layout casts in this toolchain)."""
     if interpret:
         return jnp.repeat(t, hd, axis=-1)
-    return pltpu.repeat(t, hd, axis=t.ndim - 1)
+    h = t.shape[-1]
+    d = h * hd
+    head_of_lane = jax.lax.broadcasted_iota(jnp.int32, (h, d), 1) // hd
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (h, d), 0)
+    expand = (head_of_lane == head_row).astype(t.dtype)  # (H, d)
+    flat = jnp.dot(t.reshape(-1, h), expand,
+                   preferred_element_type=jnp.float32)
+    return flat.reshape(t.shape[:-1] + (d,))
 
 
 def _kernel_a(
