@@ -82,6 +82,7 @@ def _expand_heads(t, hd: int, interpret: bool):
     head_row = jax.lax.broadcasted_iota(jnp.int32, (h, d), 0)
     expand = (head_of_lane == head_row).astype(t.dtype)  # (H, d)
     flat = jnp.dot(t.reshape(-1, h), expand,
+                   precision=jax.lax.Precision.DEFAULT,  # 0/1 matrix: exact
                    preferred_element_type=jnp.float32)
     return flat.reshape(t.shape[:-1] + (d,))
 
