@@ -7,6 +7,7 @@ true testdata trees must reproduce the documented 0.333
 """
 
 import numpy as np
+from pathlib import Path
 import pytest
 
 from phyloformer_tpu.data import (
@@ -121,3 +122,41 @@ def test_kf_north_star_0333(goldens_dir, testdata_dir):
     mean_kf = float(np.mean(kfs))
     # documented expected output of the reference pipeline is 0.333
     assert 0.30 < mean_kf < 0.36, f"mean KF {mean_kf}"
+
+
+def test_native_cli_binaries(tmp_path, goldens_dir, testdata_dir):
+    """The standalone pf-fastme / pf-phylocompare binaries work end-to-end."""
+    import subprocess
+
+    build = Path("native/build")
+    if not (build / "pf-fastme").exists():
+        pytest.skip("native binaries not built")
+    g = np.load(goldens_dir / "pf_preds_testdata.npz")
+    stem = "0_20_tips"
+    ids = [str(x) for x in g[stem + "__ids"]]
+    _, phy = vec_to_phylip(g[stem].astype(np.float64), ids)
+    mat = tmp_path / f"{stem}.phy"
+    mat.write_text(phy)
+    out_tree = tmp_path / "trees" / f"{stem}.nwk"
+    out_tree.parent.mkdir()
+    r = subprocess.run(
+        [str(build / "pf-fastme"), "-i", str(mat), "-o", str(out_tree), "--nni", "--spr"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert out_tree.exists()
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    (ref_dir / f"{stem}.nwk").write_bytes(
+        (testdata_dir / "trees" / f"{stem}.nwk").read_bytes()
+    )
+    r = subprocess.run(
+        [str(build / "pf-phylocompare"), str(ref_dir), str(out_tree.parent)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert lines[0] == "id,rf,norm_rf,weighted_rf,kf_score,n_common"
+    fields = lines[1].split(",")
+    assert fields[0] == stem and float(fields[4]) < 1.0
