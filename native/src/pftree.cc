@@ -377,7 +377,10 @@ double pauplin_length(const DistMatrix& dm, const Tree& t) {
 // NJ
 // ---------------------------------------------------------------------------
 
-Tree nj_tree(const DistMatrix& dm) {
+// Shared scaffold for NJ (Saitou-Nei) and BioNJ (Gascuel 1997).  BioNJ
+// tracks pair variances and mixes the reduction d(u,k) with the
+// variance-minimizing lambda instead of NJ's fixed 1/2.
+static Tree nj_family_tree(const DistMatrix& dm, bool bionj) {
   int n = dm.n;
   Tree t;
   t.n_leaves = n;
@@ -391,11 +394,13 @@ Tree nj_tree(const DistMatrix& dm) {
   }
 
   std::vector<double> d(dm.d);
+  std::vector<double> var(dm.d);  // BioNJ pair variances (init = distances)
   std::vector<int> node_of(n);
   std::vector<int> active(n);
   for (int i = 0; i < n; ++i) node_of[i] = i, active[i] = i;
 
   auto D = [&](int i, int j) -> double& { return d[i * n + j]; };
+  auto V = [&](int i, int j) -> double& { return var[i * n + j]; };
 
   std::vector<int> act(active);
   while (static_cast<int>(act.size()) > 3) {
@@ -419,10 +424,25 @@ Tree nj_tree(const DistMatrix& dm) {
     int parent = t.new_node();
     t.add_edge(parent, node_of[ia], la);
     t.add_edge(parent, node_of[ib], lb);
+    double lambda = 0.5;
+    if (bionj && V(ia, ib) > 1e-12 && m > 2) {
+      double s = 0;
+      for (int c = 0; c < m; ++c) {
+        int k = act[c];
+        if (k == ia || k == ib) continue;
+        s += V(ib, k) - V(ia, k);
+      }
+      lambda = 0.5 + s / (2.0 * (m - 2) * V(ia, ib));
+      lambda = std::min(1.0, std::max(0.0, lambda));
+    }
     for (int c = 0; c < m; ++c) {
       int k = act[c];
       if (k == ia || k == ib) continue;
-      D(ia, k) = D(k, ia) = 0.5 * (D(ia, k) + D(ib, k) - dij);
+      double duk = lambda * (D(ia, k) - la) + (1.0 - lambda) * (D(ib, k) - lb);
+      double vuk = lambda * V(ia, k) + (1.0 - lambda) * V(ib, k) -
+                   lambda * (1.0 - lambda) * V(ia, ib);
+      D(ia, k) = D(k, ia) = duk;
+      V(ia, k) = V(k, ia) = vuk;
     }
     node_of[ia] = parent;
     act.erase(act.begin() + bj);
@@ -438,6 +458,9 @@ Tree nj_tree(const DistMatrix& dm) {
   t.add_edge(center, node_of[z], std::max(lz, 0.0));
   return t;
 }
+
+Tree nj_tree(const DistMatrix& dm) { return nj_family_tree(dm, false); }
+Tree bionj_tree(const DistMatrix& dm) { return nj_family_tree(dm, true); }
 
 // ---------------------------------------------------------------------------
 // BME construction + BNNI + BSPR
@@ -755,7 +778,9 @@ void assign_balanced_lengths(const DistMatrix& dm, Tree* t) {
 
 Tree build_tree(const DistMatrix& dm, const std::string& method, bool nni,
                 bool spr) {
-  Tree t = method == "nj" ? nj_tree(dm) : bme_greedy(dm);
+  Tree t = method == "nj"      ? nj_tree(dm)
+           : method == "bionj" ? bionj_tree(dm)
+                               : bme_greedy(dm);
   if (dm.n >= 4) {
     bool moved = true;
     int guard = 0;

@@ -60,7 +60,7 @@ struct DistMatrix {
 DistMatrix read_phylip(const std::string& text);
 
 // ---- tree building ----
-// method: "nj" | "bme" (balanced minimum evolution, taxon addition)
+// method: "nj" | "bionj" | "bme" (balanced minimum evolution, taxon addition)
 // nni/spr: apply balanced NNI / SPR hill-climbing after construction.
 Tree build_tree(const DistMatrix& dm, const std::string& method, bool nni,
                 bool spr);
@@ -70,6 +70,7 @@ void assign_balanced_lengths(const DistMatrix& dm, Tree* t);
 double pauplin_length(const DistMatrix& dm, const Tree& t);
 
 Tree nj_tree(const DistMatrix& dm);
+Tree bionj_tree(const DistMatrix& dm);
 
 // ---- comparison ----
 struct CompareResult {

@@ -22,14 +22,14 @@ def main(argv=None) -> int:
     p_fm = sub.add_parser("fastme", help="distance matrix -> tree")
     p_fm.add_argument("-i", "--input", required=True)
     p_fm.add_argument("-o", "--output", default=None)
-    p_fm.add_argument("-m", "--method", default="bme", choices=["bme", "nj"])
+    p_fm.add_argument("-m", "--method", default="bme", choices=["bme", "nj", "bionj"])
     p_fm.add_argument("--nni", action="store_true")
     p_fm.add_argument("--spr", action="store_true")
 
     p_fd = sub.add_parser("fastme-dir", help="batch: every .phy in a directory")
     p_fd.add_argument("matdir")
     p_fd.add_argument("outdir")
-    p_fd.add_argument("-m", "--method", default="bme", choices=["bme", "nj"])
+    p_fd.add_argument("-m", "--method", default="bme", choices=["bme", "nj", "bionj"])
     p_fd.add_argument("--nni", action="store_true")
     p_fd.add_argument("--spr", action="store_true")
 

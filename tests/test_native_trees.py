@@ -46,7 +46,7 @@ def _random_tree(rng, n):
     return root
 
 
-@pytest.mark.parametrize("method", ["nj", "bme"])
+@pytest.mark.parametrize("method", ["nj", "bionj", "bme"])
 @pytest.mark.parametrize("n", [5, 12, 30])
 def test_additive_recovery(method, n):
     """On additive (tree-metric) input both methods must recover the tree
