@@ -35,7 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--trees", "-t", action="store_true",
                         help="also write NJ trees (<stem>.nj.nwk)")
     parser.add_argument("--precision", choices=["float32", "bfloat16"],
-                        default="float32", help="compute precision")
+                        default="float32", help="parameter/activation dtype")
+    parser.add_argument("--matmul-precision",
+                        choices=["float32", "tensorfloat32", "default"],
+                        default="float32",
+                        help="MXU pass mode (float32 = parity; tensorfloat32 "
+                             "~3e-5 distance error, faster)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas TPU kernels")
     parser.add_argument("--batch-tokens", type=int, default=1 << 24,
                         help="max pair-site tokens per device batch")
     parser.add_argument("--max-batch-size", type=int, default=64)
@@ -97,11 +104,14 @@ def main(argv=None) -> int:
         max_batch_tokens=args.batch_tokens,
         max_batch_size=args.max_batch_size,
         precision=args.precision,
+        matmul_precision=args.matmul_precision,
+        use_pallas=args.pallas,
     )
     if args.no_bucketing:
         icfg = InferenceConfig(
             n_buckets=(), l_buckets=(), allow_oversize=True,
             max_batch_tokens=args.batch_tokens, precision=args.precision,
+            matmul_precision=args.matmul_precision, use_pallas=args.pallas,
         )
     engine = InferenceEngine(params, cfg, icfg)
 
