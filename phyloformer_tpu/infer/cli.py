@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "~3e-5 distance error, faster)")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas TPU kernels")
-    parser.add_argument("--batch-tokens", type=int, default=1 << 24,
+    parser.add_argument("--batch-tokens", type=int, default=1 << 22,
                         help="max pair-site tokens per device batch")
     parser.add_argument("--max-batch-size", type=int, default=64)
     parser.add_argument("--no-bucketing", action="store_true",
