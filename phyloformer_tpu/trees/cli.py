@@ -3,7 +3,7 @@
 Subcommands mirror the reference's native binaries
 (`/root/reference/README.md:77-99`):
 
-    pf-tree fastme -i mat.phy -o tree.nwk [--nni] [--spr] [-m bme|nj]
+    pf-tree fastme -i mat.phy -o tree.nwk [--nni] [--spr] [-m bme|nj|bionj]
     pf-tree fastme-dir <matdir> <outdir> [...]          # batch
     pf-tree compare <ref_tree_dir> <cmp_tree_dir> [-o cmp.csv]
 """
