@@ -1,7 +1,9 @@
 #include "pftree.h"
 
 #include <algorithm>
+#include <array>
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
 #include <functional>
 #include <limits>
@@ -469,11 +471,13 @@ Tree bionj_tree(const DistMatrix& dm) { return nj_family_tree(dm, true); }
 namespace {
 
 std::vector<int> identity_map(const Tree& t, const DistMatrix& dm) {
+  std::map<std::string, int> name_to_dm;
+  for (int j = 0; j < dm.n; ++j) name_to_dm[dm.names[j]] = j;
   std::vector<int> map(t.n_leaves);
   for (int i = 0; i < t.n_leaves; ++i) {
-    auto it = std::find(dm.names.begin(), dm.names.end(), t.leaf_names[i]);
-    if (it == dm.names.end()) throw std::runtime_error("taxon missing in matrix");
-    map[i] = static_cast<int>(it - dm.names.begin());
+    auto it = name_to_dm.find(t.leaf_names[i]);
+    if (it == name_to_dm.end()) throw std::runtime_error("taxon missing in matrix");
+    map[i] = it->second;
   }
   return map;
 }
@@ -579,9 +583,246 @@ bool bnni_step(const DistMatrix& dm, Tree* t, double eps = 1e-12) {
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// Fast balanced-SPR (Desper & Gascuel 2002-style recursions)
+// ---------------------------------------------------------------------------
+//
+// The naive sweep (kept below as bspr_step_slow for non-binary trees and
+// very large n) copies the tree and rebuilds full balanced tables for every
+// prune candidate: O(n^3) per sweep with large constants.  This version
+// precomputes ONE table of balanced average distances between all pairs of
+// disjoint directed subtrees, delta(sub(d1), sub(d2)), in O(n^2) total via
+// the halving recursion delta(a,b) = 1/2(delta(kids(a),b)), then scores
+// every (prune, insertion-edge) pair with a DFS walk whose per-edge cost is
+// O(path depth) table lookups:
+//
+//   cost(f) = 1/2 [ delta(S, X_f) + delta(S, Y_f) - delta(X_f, Y_f) ]
+//
+// where S is the pruned subtree and X_f/Y_f the two sides of insertion edge
+// f in T' = T - S.  The ahead side is an original-tree subtree (direct
+// lookup); the behind side is the geometric mixture
+// 1/2 Sib_1 + 1/4 Sib_2 + ... + 2^-m Sib_m + 2^-m R0 of original subtrees
+// hanging off the walk path, so delta(S, behind) updates in O(1) per step
+// and delta(behind, ahead) is an O(m) sum of lookups.  Per sweep:
+// O(n^2 + n^2 * avg depth) ~ O(n^2 log n) on balanced trees.
+
+// delta(sub(d1), sub(d2)) for *disjoint* directed subtrees, memoized.
+class PairDeltas {
+ public:
+  // Returns false (table unusable) if the tree is not fully binary or the
+  // table would exceed the memory cap.
+  bool init(const Tree& t, const DistMatrix& dm, const std::vector<int>& map) {
+    t_ = &t;
+    dm_ = &dm;
+    map_ = &map;
+    m_ = 2 * static_cast<int>(t.edges.size());
+    if (static_cast<size_t>(m_) * m_ > (size_t{1} << 27))  // > 1 GiB of doubles
+      return false;
+    head_.resize(m_);
+    sz_.assign(m_, 0);
+    kids_.assign(m_, {-1, -1});
+    for (int d = 0; d < m_; ++d) {
+      int e = d / 2;
+      head_[d] = d % 2 == 0 ? t.edges[e].v : t.edges[e].u;
+      if (head_[d] >= t.n_leaves) {
+        int k = 0;
+        for (int e2 : t.adj[head_[d]]) {
+          if (e2 == e) continue;
+          if (k == 2) return false;  // multifurcation: fall back
+          kids_[d][k++] = away(t, e2, head_[d]);
+        }
+        if (k != 2) return false;  // degree-2 internal node: fall back
+      }
+    }
+    // subtree leaf counts, used to pick the decomposition side
+    std::vector<int> order;
+    order.reserve(m_);
+    std::vector<char> done(m_, 0);
+    std::function<void(int)> visit = [&](int d) {
+      if (done[d]) return;
+      done[d] = 1;
+      if (kids_[d][0] >= 0) {
+        visit(kids_[d][0]);
+        visit(kids_[d][1]);
+      }
+      order.push_back(d);
+    };
+    for (int d = 0; d < m_; ++d) visit(d);
+    for (int d : order)
+      sz_[d] = kids_[d][0] < 0 ? 1 : sz_[kids_[d][0]] + sz_[kids_[d][1]];
+    val_.assign(static_cast<size_t>(m_) * m_,
+                std::numeric_limits<double>::quiet_NaN());
+    return true;
+  }
+
+  // Precondition: sub(d1) and sub(d2) are disjoint.
+  double at(int d1, int d2) {
+    double v = val_[static_cast<size_t>(d1) * m_ + d2];
+    if (!std::isnan(v)) return v;
+    int a = d1, b = d2;
+    if (sz_[a] < sz_[b]) std::swap(a, b);
+    double r;
+    if (sz_[a] == 1) {
+      r = (*dm_)((*map_)[head_[a]], (*map_)[head_[b]]);
+    } else {
+      r = 0.5 * (at(kids_[a][0], b) + at(kids_[a][1], b));
+    }
+    val_[static_cast<size_t>(d1) * m_ + d2] = r;
+    val_[static_cast<size_t>(d2) * m_ + d1] = r;
+    return r;
+  }
+
+  int head(int d) const { return head_[d]; }
+
+ private:
+  const Tree* t_ = nullptr;
+  const DistMatrix* dm_ = nullptr;
+  const std::vector<int>* map_ = nullptr;
+  int m_ = 0;
+  std::vector<int> head_, sz_;
+  std::vector<std::array<int, 2>> kids_;
+  std::vector<double> val_;
+};
+
+struct SprBest {
+  double gain;
+  int prune_dir = -1;
+  int target_edge = -1;
+};
+
+// delta(behind-mixture, sub(d_g)).  sibs = [R0, Sib_m, ..., Sib_1] with
+// Sib_1 nearest (weight 1/2) and R0 sharing the farthest sibling's weight.
+double mix_delta(PairDeltas& T, const std::vector<int>& sibs, int d_g) {
+  double acc = 0.0, w = 0.5;
+  for (int k = static_cast<int>(sibs.size()) - 1; k >= 1; --k) {
+    acc += w * T.at(sibs[k], d_g);
+    if (k > 1) w *= 0.5;
+  }
+  acc += w * T.at(sibs[0], d_g);
+  return acc;
+}
+
+// DFS over one insertion cone for pruned subtree sub(dS).
+void spr_walk(const Tree& t, PairDeltas& T, int dS, int d_g, double sA,
+              std::vector<int>* sibs, double base_cost, SprBest* best) {
+  double cost =
+      0.5 * (sA + T.at(dS, d_g) - mix_delta(T, *sibs, d_g));
+  double gain = base_cost - cost;
+  if (gain > best->gain) {
+    best->gain = gain;
+    best->prune_dir = dS;
+    best->target_edge = d_g / 2;
+  }
+  int h = T.head(d_g);
+  if (h < t.n_leaves) return;
+  std::array<int, 2> kid_edges{-1, -1};
+  int k = 0;
+  for (int e2 : t.adj[h])
+    if (e2 != d_g / 2) kid_edges[k++] = e2;
+  for (int i = 0; i < 2; ++i) {
+    int down = away(t, kid_edges[i], h);
+    int sib = away(t, kid_edges[1 - i], h);
+    sibs->push_back(sib);
+    spr_walk(t, T, dS, down, 0.5 * T.at(dS, sib) + 0.5 * sA, sibs, base_cost,
+             best);
+    sibs->pop_back();
+  }
+}
+
+// One fast balanced-SPR sweep; returns true if an improving move was applied,
+// false if none exists.  Sets *ok=false (and returns false) when the tree
+// shape or size requires the slow fallback.
+bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok) {
+  *ok = true;
+  int ne = static_cast<int>(t->edges.size());
+  if (ne < 4) return false;
+  std::vector<int> map = identity_map(*t, dm);
+  PairDeltas T;
+  if (!T.init(*t, dm, map)) {
+    *ok = false;
+    return false;
+  }
+
+  SprBest best{eps};
+  std::vector<int> sibs;
+  sibs.reserve(64);
+  for (int d = 0; d < 2 * ne; ++d) {
+    int e = d / 2;
+    int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
+    if (tail < t->n_leaves) continue;  // tail must be internal to prune
+    std::array<int, 2> tail_edges{-1, -1};
+    int k = 0;
+    for (int e2 : t->adj[tail])
+      if (e2 != e) tail_edges[k++] = e2;
+    int d_ta = away(*t, tail_edges[0], tail);
+    int d_tb = away(*t, tail_edges[1], tail);
+    // cost of re-inserting at the merged edge (= current position)
+    double base =
+        0.5 * (T.at(d, d_ta) + T.at(d, d_tb) - T.at(d_ta, d_tb));
+    for (int side = 0; side < 2; ++side) {
+      int d_in = side == 0 ? d_ta : d_tb;   // cone entered
+      int d_r0 = side == 0 ? d_tb : d_ta;   // far side of the merged edge
+      int ta = T.head(d_in);
+      if (ta < t->n_leaves) continue;
+      std::array<int, 2> cone{-1, -1};
+      int c = 0;
+      for (int e2 : t->adj[ta])
+        if (e2 != tail_edges[side]) cone[c++] = e2;
+      for (int i = 0; i < 2; ++i) {
+        int down = away(*t, cone[i], ta);
+        int sib = away(*t, cone[1 - i], ta);
+        sibs.clear();
+        sibs.push_back(d_r0);
+        sibs.push_back(sib);
+        double sA = 0.5 * T.at(d, sib) + 0.5 * T.at(d, d_r0);
+        spr_walk(*t, T, d, down, sA, &sibs, base, &best);
+      }
+    }
+  }
+
+  if (best.prune_dir < 0) return false;
+
+  // apply: prune sub(best.prune_dir), reinsert on best.target_edge
+  int d = best.prune_dir;
+  int e = d / 2;
+  int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
+  std::vector<int> tail_edges;
+  for (int e2 : t->adj[tail])
+    if (e2 != e) tail_edges.push_back(e2);
+  int ea = tail_edges[0], eb2 = tail_edges[1];
+  int tb = t->other(eb2, tail);
+  // merge ea to span ta-tb; free eb2; tail keeps only edge e
+  double mlen = t->edges[ea].len + t->edges[eb2].len;
+  if (t->edges[ea].u == tail)
+    t->edges[ea].u = tb;
+  else
+    t->edges[ea].v = tb;
+  t->edges[ea].len = mlen;
+  auto& atail = t->adj[tail];
+  atail.erase(std::find(atail.begin(), atail.end(), ea));
+  atail.erase(std::find(atail.begin(), atail.end(), eb2));
+  t->adj[tb].push_back(ea);
+  auto& atb = t->adj[tb];
+  atb.erase(std::find(atb.begin(), atb.end(), eb2));
+  // split the target edge (never ea/eb2/e: the cones exclude them),
+  // reusing `tail` as the junction and eb2 as the new edge slot
+  int target = best.target_edge;
+  int u = t->edges[target].u, v = t->edges[target].v;
+  double half = t->edges[target].len / 2;
+  t->edges[target] = {u, tail, half};
+  auto& av = t->adj[v];
+  av.erase(std::find(av.begin(), av.end(), target));
+  t->adj[tail].push_back(target);
+  t->edges[eb2] = {tail, v, half};
+  t->adj[tail].push_back(eb2);
+  t->adj[v].push_back(eb2);
+  return true;
+}
+
 // One balanced-SPR sweep: prune every subtree, slide to the best edge.
-// Returns true if an improving move was applied.
-bool bspr_step(const DistMatrix& dm, Tree* t, double eps = 1e-10) {
+// Returns true if an improving move was applied.  Slow O(n^3) version kept
+// as the fallback for non-binary trees (bspr_step_fast covers the rest).
+bool bspr_step_slow(const DistMatrix& dm, Tree* t, double eps = 1e-10) {
   int ne = static_cast<int>(t->edges.size());
   if (ne < 4) return false;
   std::vector<int> map = identity_map(*t, dm);
@@ -672,7 +913,6 @@ bool bspr_step(const DistMatrix& dm, Tree* t, double eps = 1e-10) {
   // apply: prune S at best_prune_dir, reinsert on edge (best_insert_u, best_insert_v)
   int d = best_prune_dir;
   int e = d / 2;
-  int head = d % 2 == 0 ? t->edges[e].v : t->edges[e].u;
   int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
   std::vector<int> tail_edges;
   for (int e2 : t->adj[tail])
@@ -725,6 +965,17 @@ bool bspr_step(const DistMatrix& dm, Tree* t, double eps = 1e-10) {
   t->adj[tail].push_back(eb2);
   t->adj[v].push_back(eb2);
   return true;
+}
+
+bool bspr_step(const DistMatrix& dm, Tree* t, double eps = 1e-10) {
+  // test/benchmark escape hatch: force the O(n^3) reference sweep
+  static const bool force_slow = std::getenv("PFTREE_SLOW_SPR") != nullptr;
+  if (!force_slow) {
+    bool ok = false;
+    bool moved = bspr_step_fast(dm, t, eps, &ok);
+    if (ok) return moved;
+  }
+  return bspr_step_slow(dm, t, eps);
 }
 
 }  // namespace

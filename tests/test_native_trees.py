@@ -160,3 +160,47 @@ def test_native_cli_binaries(tmp_path, goldens_dir, testdata_dir):
     assert lines[0] == "id,rf,norm_rf,weighted_rf,kf_score,n_common"
     fields = lines[1].split(",")
     assert fields[0] == stem and float(fields[4]) < 1.0
+
+
+def test_fast_spr_matches_slow_reference(tmp_path):
+    """The O(n^2)-table balanced-SPR sweep finds the same-quality trees as
+    the O(n^3) rebuild-per-prune reference sweep (forced via PFTREE_SLOW_SPR).
+
+    Equivalence target is the balanced (Pauplin) tree length: tie-breaking
+    between equal-gain moves may differ, so topologies can legally diverge
+    only at exactly-equal length."""
+    import os
+    import subprocess
+
+    from phyloformer_tpu.data.newick import parse_newick, patristic_matrix
+    from phyloformer_tpu.data.phylip import matrix_to_phylip
+    from phyloformer_tpu.sim.trees import TreeSimConfig, diameter_sampler, simulate_tree
+    from phyloformer_tpu.trees.native import build_native, pauplin_length
+
+    build = Path("native/build")
+    if not (build / "pf-fastme").exists():
+        pytest.skip("native binaries not built")
+    build_native()
+
+    rng = np.random.default_rng(7)
+    tree = simulate_tree(rng, TreeSimConfig(ntips=60), diameter_sampler(None))
+    D, ids = patristic_matrix(tree)
+    noise = rng.normal(0, 0.08, D.shape)
+    noise = (noise + noise.T) / 2
+    np.fill_diagonal(noise, 0)
+    phy = matrix_to_phylip(np.abs(D + noise), ids)
+    mat = tmp_path / "m.phy"
+    mat.write_text(phy)
+
+    lengths = {}
+    for tag, env_extra in [("fast", {}), ("slow", {"PFTREE_SLOW_SPR": "1"})]:
+        out = tmp_path / f"{tag}.nwk"
+        env = dict(os.environ, **env_extra)
+        r = subprocess.run(
+            [str(build / "pf-fastme"), "-i", str(mat), "-o", str(out),
+             "--nni", "--spr"],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        lengths[tag] = pauplin_length(phy, out.read_text())
+    assert lengths["fast"] == pytest.approx(lengths["slow"], abs=1e-9)
