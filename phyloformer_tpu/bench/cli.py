@@ -45,6 +45,24 @@ def main(argv=None) -> int:
     pr.add_argument("--marker", default="PF")
     pr.add_argument("--figures", action="store_true")
 
+    pf = sub.add_parser(
+        "figures",
+        help="render the make_plots.py figure families from benchmark CSVs",
+    )
+    pf.add_argument("-o", "--outdir", required=True)
+    pf.add_argument("--topos", nargs="*", default=[],
+                    help="topos_*.csv files (any markers)")
+    pf.add_argument("--dists", nargs="*", default=[], help="dists_*.csv files")
+    pf.add_argument("--brlens", nargs="*", default=[], help="brlens_*.csv files")
+    pf.add_argument("--exec", dest="exec_csvs", nargs="*", default=[],
+                    help="execution_*.csv files")
+    pf.add_argument("--likelihoods", nargs="*", default=[],
+                    help="likelihoods_*.csv files")
+    pf.add_argument("--datasets", nargs="*", default=[],
+                    help="fine-tuned panels: name=topos.csv[,topos2.csv...]")
+    pf.add_argument("--metrics", nargs="*",
+                    default=["norm_rf", "kf_score", "weighted_rf"])
+
     pt = sub.add_parser("throughput", help="synthetic-throughput benchmark")
     pt.add_argument("weights")
     pt.add_argument("--tips", type=int, default=60)
@@ -106,6 +124,48 @@ def main(argv=None) -> int:
             marker=args.marker, make_figures=args.figures,
         )
         print(json.dumps(summary, indent=2))
+        return 0
+
+    if args.cmd == "figures":
+        from pathlib import Path
+
+        from . import figures as F
+
+        out = Path(args.outdir)
+        out.mkdir(parents=True, exist_ok=True)
+        made = []
+        if args.topos:
+            for metric in args.metrics:
+                F.topology_by_tips(args.topos, out / f"topo_{metric}.pdf", metric)
+                F.metric_lines_by_length(
+                    args.topos, out / f"lines_{metric}.pdf", metric
+                )
+                made += [f"topo_{metric}.pdf", f"lines_{metric}.pdf"]
+        if args.dists:
+            for d in args.dists:
+                stem = Path(d).stem
+                F.distance_error_panels(d, out / f"{stem}_errors.pdf")
+                made.append(f"{stem}_errors.pdf")
+            F.distance_hist_grid(args.dists, out / "dist_hist_grid.pdf")
+            made.append("dist_hist_grid.pdf")
+        for b in args.brlens:
+            stem = Path(b).stem
+            F.branch_length_scatter(b, out / f"{stem}_scatter.pdf")
+            made.append(f"{stem}_scatter.pdf")
+        if args.exec_csvs:
+            F.runtime_bars(args.exec_csvs, out / "runtime.pdf")
+            made.append("runtime.pdf")
+        if args.likelihoods:
+            F.likelihood_violins(args.likelihoods, out / "likelihoods.pdf")
+            made.append("likelihoods.pdf")
+        if args.datasets:
+            ds = {}
+            for spec in args.datasets:
+                name, paths = spec.split("=", 1)
+                ds[name] = paths.split(",")
+            F.finetuned_panels(ds, out / "finetuned_panels.pdf", tuple(args.metrics))
+            made.append("finetuned_panels.pdf")
+        print(json.dumps({"outdir": str(out), "figures": made}))
         return 0
 
     if args.cmd == "throughput":

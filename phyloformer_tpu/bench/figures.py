@@ -40,6 +40,16 @@ def _tips_of(example_id: str) -> Optional[int]:
     return int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
 
 
+def _length_of(example_id: str) -> Optional[int]:
+    """Alignment length from paper-scale ids ``rep_tips_tips_length`` (the
+    reference reads it as ``id.split("_")[-1]``, `make_plots.py:188`).  The
+    bundled-testdata ids ``rep_tips_tips`` carry no length -> None."""
+    parts = example_id.split("_")
+    if len(parts) >= 4 and parts[-1].isdigit():
+        return int(parts[-1])
+    return None
+
+
 def topology_by_tips(topo_csvs: Sequence, out_pdf, metric: str = "kf_score"):
     """Grouped box plot of a topology metric vs tip count, one color per
     marker (reference topos figures)."""
@@ -155,6 +165,188 @@ def likelihood_violins(likelihood_csvs: Sequence, out_pdf):
     ax.set_xticks(range(1, len(markers) + 1))
     ax.set_xticklabels(markers, rotation=30)
     ax.set_ylabel("ll(inferred) / ll(true)")
+    fig.tight_layout()
+    fig.savefig(out_pdf)
+    plt.close(fig)
+
+
+def metric_lines_by_length(topo_csvs: Sequence, out_pdf, metric: str = "norm_rf"):
+    """Mean metric vs tip count, one line per marker, one panel per alignment
+    length (the reference's `build_plot`/`side_by_side` grids,
+    `make_plots.py:220-303`).  Ids without a length collapse to one panel."""
+    plt = _plt()
+    # data[length][marker][tips] -> values
+    data: Dict[Optional[int], Dict[str, Dict[int, List[float]]]] = {}
+    for path in topo_csvs:
+        for row in _read_csv(path):
+            tips = _tips_of(row["id"])
+            if tips is None:
+                continue
+            length = _length_of(row["id"])
+            data.setdefault(length, {}).setdefault(row["marker"], {}).setdefault(
+                tips, []
+            ).append(float(row[metric]))
+    if not data:
+        return
+    lengths = sorted(data, key=lambda x: (x is None, x))
+    fig, axes = plt.subplots(
+        1, len(lengths), figsize=(4 * len(lengths), 4), sharey=True, squeeze=False
+    )
+    for ax, length in zip(axes[0], lengths):
+        for mi, marker in enumerate(sorted(data[length])):
+            series = data[length][marker]
+            tips_all = sorted(series)
+            mean = [float(np.mean(series[t])) for t in tips_all]
+            sd = [float(np.std(series[t])) for t in tips_all]
+            color = plt.cm.tab10(mi)
+            ax.plot(tips_all, mean, "o-", color=color, label=marker, ms=4)
+            ax.fill_between(
+                tips_all,
+                np.array(mean) - sd,
+                np.array(mean) + sd,
+                color=color,
+                alpha=0.15,
+                lw=0,
+            )
+        ax.set_title("all lengths" if length is None else f"Alignment length = {length}")
+        ax.set_xlabel("Number of leaves")
+    axes[0][0].set_ylabel(metric)
+    axes[0][-1].legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_pdf)
+    plt.close(fig)
+
+
+def finetuned_panels(
+    dataset_topo_csvs: Dict[str, Sequence],
+    out_pdf,
+    metrics: Sequence[str] = ("norm_rf", "kf_score", "weighted_rf"),
+):
+    """Metric x dataset grid of per-marker box plots — the reference's
+    fine-tuned-model figure families (`fine_tuned_plot`/`cherry_pastek_topos`/
+    `base_vs_ft`, `make_plots.py:759-1115`): pass topo CSVs per dataset (e.g.
+    gaps/cherry/pastek) with whatever markers should be compared (PF_Base vs
+    fine-tuned variants, baselines, ...)."""
+    plt = _plt()
+    # data[dataset][marker][metric] -> values
+    data: Dict[str, Dict[str, Dict[str, List[float]]]] = {}
+    for dataset, paths in dataset_topo_csvs.items():
+        for path in paths:
+            for row in _read_csv(path):
+                by_marker = data.setdefault(dataset, {}).setdefault(row["marker"], {})
+                for metric in metrics:
+                    by_marker.setdefault(metric, []).append(float(row[metric]))
+    if not data:
+        return
+    datasets = sorted(data)
+    markers = sorted({m for d in data.values() for m in d})
+    fig, axes = plt.subplots(
+        len(metrics),
+        len(datasets),
+        figsize=(1.0 + 2.2 * len(datasets), 2.6 * len(metrics)),
+        squeeze=False,
+        sharey="row",
+    )
+    for ri, metric in enumerate(metrics):
+        for ci, dataset in enumerate(datasets):
+            ax = axes[ri][ci]
+            vals, used = [], []
+            for marker in markers:
+                v = data[dataset].get(marker, {}).get(metric)
+                if v:
+                    vals.append(v)
+                    used.append(marker)
+            if vals:
+                bp = ax.boxplot(vals, patch_artist=True)
+                for box, marker in zip(bp["boxes"], used):
+                    box.set_facecolor(plt.cm.tab10(markers.index(marker)))
+                ax.set_xticklabels(used, rotation=45, fontsize=7)
+            if ri == 0:
+                ax.set_title(dataset)
+            if ci == 0:
+                ax.set_ylabel(metric)
+    fig.tight_layout()
+    fig.savefig(out_pdf)
+    plt.close(fig)
+
+
+def distance_hist_grid(dists_csvs: Sequence, out_pdf):
+    """Grid of true-vs-predicted distance histograms, rows = tip counts,
+    cols = alignment lengths (the reference's `hist_4x4`/`hist_ft` families,
+    `make_plots.py:1154-1345`), overlaying each marker on the reference
+    distribution."""
+    plt = _plt()
+    # cell[(tips, length)][marker] -> list of cmp; cell_ref -> list of ref
+    cmp_by: Dict[tuple, Dict[str, List[float]]] = {}
+    ref_by: Dict[tuple, List[float]] = {}
+    for path in dists_csvs:
+        for row in _read_csv(path):
+            tips = _tips_of(row["id"])
+            if tips is None:
+                continue
+            key = (tips, _length_of(row["id"]))
+            cmp_by.setdefault(key, {}).setdefault(row["marker"], []).append(
+                float(row["cmp_dist"])
+            )
+            ref_by.setdefault(key, []).append(float(row["ref_dist"]))
+    if not ref_by:
+        return
+    tips_all = sorted({k[0] for k in ref_by})
+    lens_all = sorted({k[1] for k in ref_by}, key=lambda x: (x is None, x))
+    fig, axes = plt.subplots(
+        len(tips_all),
+        len(lens_all),
+        figsize=(3 * len(lens_all), 2.2 * len(tips_all)),
+        squeeze=False,
+    )
+    for ri, tips in enumerate(tips_all):
+        for ci, length in enumerate(lens_all):
+            ax = axes[ri][ci]
+            key = (tips, length)
+            if key not in ref_by:
+                ax.axis("off")
+                continue
+            bins = np.linspace(0, max(ref_by[key]) * 1.1 + 1e-9, 40)
+            ax.hist(ref_by[key], bins=bins, color="0.6", alpha=0.6, label="true")
+            for mi, marker in enumerate(sorted(cmp_by.get(key, {}))):
+                ax.hist(
+                    cmp_by[key][marker],
+                    bins=bins,
+                    histtype="step",
+                    color=plt.cm.tab10(mi),
+                    label=marker,
+                )
+            ax.set_title(
+                f"{tips} tips" + ("" if length is None else f", L={length}"),
+                fontsize=8,
+            )
+            if ri == 0 and ci == 0:
+                ax.legend(fontsize=6)
+    fig.tight_layout()
+    fig.savefig(out_pdf)
+    plt.close(fig)
+
+
+def branch_length_scatter(brlens_csv, out_pdf):
+    """True vs inferred branch lengths for shared bipartitions (the
+    reference's `plot_brlen_dists`, `make_plots.py:1391` / brlens_lggc.csv)."""
+    plt = _plt()
+    rows = _read_csv(brlens_csv)
+    if not rows:
+        return
+    markers = sorted({r["marker"] for r in rows})
+    fig, axes = plt.subplots(
+        1, len(markers), figsize=(4 * len(markers), 4), squeeze=False, sharey=True
+    )
+    for ax, marker in zip(axes[0], markers):
+        ref = np.array([float(r["ref_len"]) for r in rows if r["marker"] == marker])
+        cmp_ = np.array([float(r["cmp_len"]) for r in rows if r["marker"] == marker])
+        ax.scatter(ref, cmp_, s=3, alpha=0.3)
+        lim = max(ref.max(), cmp_.max())
+        ax.plot([0, lim], [0, lim], "k--", lw=1)
+        ax.set_xlabel("true branch length")
+        ax.set_title(marker)
+    axes[0][0].set_ylabel("inferred branch length")
     fig.tight_layout()
     fig.savefig(out_pdf)
     plt.close(fig)

@@ -67,3 +67,71 @@ def test_benchmark_recorder_schema(tmp_path):
     assert len(lines) == 3
     grouped = rec.group_elapsed()
     assert ("PF", "all") in grouped and ("PF", "0_20_tips") in grouped
+
+
+def test_figure_families_and_cli(tmp_path):
+    """All make_plots.py figure families render from schema-exact CSVs,
+    including the paper-scale id convention ``rep_tips_tips_length``
+    (`/root/reference/make_plots.py:187-188`) driving the per-length grids
+    and the hist grid, via the `pf-bench figures` subcommand."""
+    import csv as _csv
+
+    from phyloformer_tpu.bench.cli import main as bench_main
+
+    rng = np.random.default_rng(0)
+    topos = tmp_path / "topos_all.csv"
+    with open(topos, "w", newline="") as fh:
+        w = _csv.DictWriter(
+            fh, fieldnames=["marker", "id", "norm_rf", "kf_score", "weighted_rf"]
+        )
+        w.writeheader()
+        for marker in ["PF", "PF_Base", "FastME"]:
+            for rep in range(3):
+                for tips in [20, 50]:
+                    for length in [250, 500]:
+                        w.writerow({
+                            "marker": marker,
+                            "id": f"{rep}_{tips}_tips_{length}",
+                            "norm_rf": rng.random(),
+                            "kf_score": rng.random(),
+                            "weighted_rf": rng.random() * 3,
+                        })
+    dists = tmp_path / "dists_all.csv"
+    with open(dists, "w", newline="") as fh:
+        w = _csv.DictWriter(fh, fieldnames=["marker", "id", "ref_dist", "cmp_dist"])
+        w.writeheader()
+        for marker in ["PF", "Hamming+FastME"]:
+            for rep in range(2):
+                for tips in [20, 50]:
+                    for _ in range(30):
+                        r = rng.random() * 2
+                        w.writerow({
+                            "marker": marker,
+                            "id": f"{rep}_{tips}_tips_250",
+                            "ref_dist": r,
+                            "cmp_dist": r + rng.normal(0, 0.1),
+                        })
+    brlens = tmp_path / "brlens_all.csv"
+    with open(brlens, "w", newline="") as fh:
+        w = _csv.DictWriter(fh, fieldnames=["marker", "id", "ref_len", "cmp_len"])
+        w.writeheader()
+        for _ in range(50):
+            r = rng.random()
+            w.writerow({"marker": "PF", "id": "0_20_tips", "ref_len": r,
+                        "cmp_len": r + rng.normal(0, 0.02)})
+
+    out = tmp_path / "figs"
+    rc = bench_main([
+        "figures", "-o", str(out),
+        "--topos", str(topos),
+        "--dists", str(dists),
+        "--brlens", str(brlens),
+        "--datasets", f"gaps={topos}", f"cherry={topos}",
+    ])
+    assert rc == 0
+    for name in [
+        "topo_norm_rf.pdf", "lines_norm_rf.pdf", "lines_kf_score.pdf",
+        "dists_all_errors.pdf", "dist_hist_grid.pdf",
+        "brlens_all_scatter.pdf", "finetuned_panels.pdf",
+    ]:
+        assert (out / name).exists() and (out / name).stat().st_size > 0, name
