@@ -26,6 +26,9 @@ def main(argv=None) -> int:
                    help="fixed gamma shape (default: sample hogenom prior)")
     p.add_argument("--alpha-file", default=None,
                    help="reference hogenom_alphas.txt pickle for the prior")
+    p.add_argument("--mdef", "--custom-model", dest="mdef", default=None,
+                   help="IQ-TREE nexus model-definition file (custom "
+                        "frequency-mixture model, reference --custom-model)")
     p.add_argument("-i", "--indels", action="store_true")
     p.add_argument("--allow-duplicate-sequences", action="store_true")
     p.add_argument("--max-attempts", type=int, default=20)
@@ -52,6 +55,7 @@ def main(argv=None) -> int:
             trees, outdir, binary=args.iqtree2_binary, length=args.length,
             substitution=args.substitution, gamma=args.gamma,
             indels=args.indels, max_attempts=args.max_attempts,
+            mdef=args.mdef,
         )
     else:
         import numpy as np
@@ -66,6 +70,7 @@ def main(argv=None) -> int:
             length=args.length,
             gamma=args.gamma,
             alpha=args.alpha,
+            mdef=args.mdef,
             indels=args.indels,
             max_attempts=args.max_attempts,
             allow_duplicates=args.allow_duplicate_sequences,

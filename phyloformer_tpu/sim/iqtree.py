@@ -29,12 +29,22 @@ def alisim_passthrough(
     indels: bool = False,
     max_attempts: int = 20,
     seed: Optional[int] = None,
+    mdef: Optional[str] = None,
 ) -> List[Tuple[str, int]]:
     if shutil.which(binary) is None:
         raise FileNotFoundError(
             f"iqtree2 binary {binary!r} not found on PATH; use --engine native "
             "(the built-in simulator) instead"
         )
+    custom_name = None
+    if mdef is not None:
+        # reference model-string assembly: +NAME from the mdef's first
+        # "frequency" identifier (alisim.py:48-53,255-263)
+        from .models import parse_custom_model_name
+
+        custom_name = parse_custom_model_name(mdef)
+        if custom_name is None:
+            raise ValueError(f"{mdef} is not a valid IQTree model file")
     rng = np.random.default_rng(seed)
     prior = alpha_sampler() if gamma else None
     failures: List[Tuple[str, int]] = []
@@ -43,6 +53,8 @@ def alisim_passthrough(
         ok = False
         for attempt in range(1, max_attempts + 1):
             model = substitution
+            if custom_name:
+                model += f"+{custom_name}"
             if gamma:
                 mean = float(prior.sample(rng))
                 alpha = max(float(rng.normal(mean, mean / 10.0)), 0.05)
@@ -52,6 +64,8 @@ def alisim_passthrough(
                 "-m", model, "-mwopt", "-af", "fasta", "--seqtype", "AA",
                 "--length", str(length), "--threads", "1",
             ]
+            if mdef is not None:
+                cmd += ["-mdef", str(mdef)]
             if indels:
                 cmd += ["--indel", "0.01,0.01", "--indel-size", "GEO{5},GEO{4}"]
             subprocess.run(cmd, capture_output=True, text=True)

@@ -129,3 +129,87 @@ def discrete_gamma_rates(alpha: float, k: int) -> np.ndarray:
     cdf2 = gamma_dist.cdf(edges, alpha + 1, scale=1.0 / alpha)
     means = (cdf2[1:] - cdf2[:-1]) * k
     return means / means.mean()
+
+
+@dataclass
+class FrequencyMixture:
+    """A named mixture of equilibrium-frequency classes (IQ-TREE ``-mdef``
+    nexus custom models, consumed by the reference as ``+NAME``,
+    `/root/reference/alisim.py:48-53,79-82,255-263`).  Each alignment site
+    belongs to one class; the base model's exchangeabilities are shared."""
+
+    name: str
+    classes: "list[np.ndarray]"  # each (20,), normalized
+    weights: np.ndarray  # (k,), sums to 1
+
+    def class_models(self, base: SubstitutionModel) -> "list[SubstitutionModel]":
+        return [
+            SubstitutionModel(f"{base.name}+{self.name}_F{i + 1}",
+                              base.exchangeabilities, f)
+            for i, f in enumerate(self.classes)
+        ]
+
+
+def parse_custom_model_name(path) -> Optional[str]:
+    """The reference's model-name convention: the first ``frequency`` line's
+    identifier up to the first underscore (`alisim.py:48-53`)."""
+    for line in pathlib.Path(path).read_text().splitlines():
+        if line.strip().startswith("frequency"):
+            return line.split()[1].split("_")[0]
+    return None
+
+
+def load_mdef_nexus(path) -> FrequencyMixture:
+    """Parse an IQ-TREE ``-mdef`` nexus model-definition file.
+
+    Supports the subset the reference pipeline uses: ``frequency NAME = f1
+    ... f20;`` class statements, plus an optional ``frequency MIXNAME =
+    FMIX{C1[:w1],C2[:w2],...};`` statement selecting classes and weights
+    (uniform when omitted).  Comments ``[...]`` and the ``begin models; /
+    end;`` wrapper are tolerated."""
+    import re
+
+    text = pathlib.Path(path).read_text()
+    text = re.sub(r"\[[^\]]*\]", " ", text)  # nexus comments
+    classes: Dict[str, np.ndarray] = {}
+    fmix: Optional[Tuple[str, list]] = None
+    for stmt in text.split(";"):
+        stmt = stmt.strip()
+        if not stmt.lower().startswith("frequency"):
+            continue
+        m = re.match(r"frequency\s+(\S+)\s*=\s*(.*)", stmt, re.S | re.I)
+        if not m:
+            continue
+        name, rhs = m.group(1), m.group(2).strip()
+        if rhs.upper().startswith("FMIX"):
+            inner = rhs[rhs.index("{") + 1 : rhs.rindex("}")]
+            parts = [p.strip() for p in inner.split(",") if p.strip()]
+            fmix = (name, parts)
+            continue
+        vals = np.array([float(x) for x in rhs.split()])
+        if vals.size != 20:
+            raise ValueError(
+                f"{path}: frequency {name!r} has {vals.size} values, expected 20"
+            )
+        classes[name] = vals / vals.sum()
+    if not classes:
+        raise ValueError(f"{path} is not a valid IQTree model file")
+
+    if fmix is not None:
+        mix_name, parts = fmix
+        sel, weights = [], []
+        for part in parts:
+            cname, _, w = part.partition(":")
+            cname = cname.strip()
+            if cname not in classes:
+                raise ValueError(f"{path}: FMIX references unknown class {cname!r}")
+            sel.append(classes[cname])
+            weights.append(float(w) if w else 1.0)
+        w = np.asarray(weights, dtype=np.float64)
+        name = mix_name.split("_")[0]
+        return FrequencyMixture(name, sel, w / w.sum())
+
+    name = parse_custom_model_name(path) or "CUSTOM"
+    sel = [classes[k] for k in classes]  # insertion order
+    w = np.full(len(sel), 1.0 / len(sel))
+    return FrequencyMixture(name, sel, w)

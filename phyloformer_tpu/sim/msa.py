@@ -32,7 +32,13 @@ import numpy as np
 from ..data.alphabet import GAP_CODE
 from ..data.fasta import Alignment, write_fasta
 from ..data.newick import Node, read_newick
-from .models import SubstitutionModel, discrete_gamma_rates, get_model
+from .models import (
+    FrequencyMixture,
+    SubstitutionModel,
+    discrete_gamma_rates,
+    get_model,
+    load_mdef_nexus,
+)
 from .priors import QuantileSampler, alpha_sampler
 
 
@@ -43,6 +49,10 @@ class MsaSimConfig:
     # gamma: None, "GC" (continuous per-site), or "G<k>" (discrete k categories)
     gamma: Optional[str] = None
     alpha: Optional[float] = None  # fixed alpha; None = sample from prior
+    # IQ-TREE -mdef nexus path: custom frequency-mixture classes layered on
+    # the base exchangeabilities (the reference's --custom-model,
+    # `alisim.py:185-191,255-263`)
+    mdef: Optional[str] = None
     indels: bool = False
     insertion_rate: float = 0.01
     deletion_rate: float = 0.01
@@ -53,19 +63,41 @@ class MsaSimConfig:
 
 
 class _Evolver:
-    """Evolves (column-id, state) sequences down a tree."""
+    """Evolves (column-id, state) sequences down a tree.
 
-    def __init__(self, model: SubstitutionModel, rng: np.random.Generator):
+    With a :class:`FrequencyMixture` every column carries a frequency class
+    (shared exchangeabilities, per-class equilibrium frequencies and
+    eigensystem), matching IQ-TREE's ``-mdef`` custom models."""
+
+    def __init__(
+        self,
+        model: SubstitutionModel,
+        rng: np.random.Generator,
+        mixture: Optional[FrequencyMixture] = None,
+    ):
         self.rng = rng
-        lam, left, right = model.eigensystem()
-        self.lam, self.left, self.right = lam, left, right
-        self.freqs = model.freqs
+        models = mixture.class_models(model) if mixture else [model]
+        self.class_weights = (
+            np.asarray(mixture.weights) if mixture else np.ones(1)
+        )
+        eig = [m.eigensystem() for m in models]
+        self.lam = np.stack([e[0] for e in eig])  # (K, 20)
+        self.left = np.stack([e[1] for e in eig])  # (K, 20, 20)
+        self.right = np.stack([e[2] for e in eig])  # (K, 20, 20)
+        self.class_freqs = np.stack([m.freqs for m in models])  # (K, 20)
+        self.freqs = (self.class_weights[:, None] * self.class_freqs).sum(0)
         # global column order: list of column ids; columns only ever inserted
         self.column_order: List[int] = []
         self._next_col = 0
         self.col_rate: Dict[int, float] = {}
+        self.col_class: Dict[int, int] = {}
 
-    def new_column(self, after: Optional[int], rate: float) -> int:
+    def sample_class(self) -> int:
+        if len(self.class_weights) == 1:
+            return 0
+        return int(self.rng.choice(len(self.class_weights), p=self.class_weights))
+
+    def new_column(self, after: Optional[int], rate: float, cls: int = 0) -> int:
         cid = self._next_col
         self._next_col += 1
         if after is None:
@@ -73,16 +105,18 @@ class _Evolver:
         else:
             self.column_order.insert(self.column_order.index(after) + 1, cid)
         self.col_rate[cid] = rate
+        self.col_class[cid] = cls
         return cid
 
     def root_sequence(self, length: int, rates: np.ndarray) -> List[Tuple[int, int]]:
-        states = self.rng.choice(20, size=length, p=self.freqs)
         seq = []
         prev = None
         for i in range(length):
-            cid = self.new_column(prev, float(rates[i]))
+            cls = self.sample_class()
+            state = int(self.rng.choice(20, p=self.class_freqs[cls]))
+            cid = self.new_column(prev, float(rates[i]), cls)
             prev = cid
-            seq.append((cid, int(states[i])))
+            seq.append((cid, state))
         return seq
 
     def substitute(self, seq, t: float):
@@ -92,10 +126,11 @@ class _Evolver:
         cols = np.array([c for c, _ in seq])
         states = np.array([s for _, s in seq])
         rates = np.array([self.col_rate[c] for c in cols])
-        # P rows: p[s, j] = sum_k right[state_s, k] e^{lam_k t r_s} left[k, j]
-        e = np.exp(self.lam[None, :] * (t * rates)[:, None])  # (S, 20)
-        a = self.right[states] * e  # (S, 20)
-        probs = a @ self.left  # (S, 20)
+        cls = np.array([self.col_class[c] for c in cols])
+        # P rows: p[s, j] = sum_k right[cls_s, state_s, k] e^{lam[cls_s]_k t r_s} left[cls_s, k, j]
+        e = np.exp(self.lam[cls] * (t * rates)[:, None])  # (S, 20)
+        a = self.right[cls, states] * e  # (S, 20)
+        probs = np.einsum("sk,skj->sj", a, self.left[cls])  # (S, 20)
         probs = np.clip(probs, 0.0, None)
         probs /= probs.sum(axis=1, keepdims=True)
         u = self.rng.uniform(size=len(seq))
@@ -116,10 +151,11 @@ class _Evolver:
                 size = int(self.rng.geometric(1.0 / cfg.insertion_mean_len))
                 pos = int(self.rng.integers(0, len(seq) + 1))
                 after = seq[pos - 1][0] if pos > 0 else None
-                states = self.rng.choice(20, size=size, p=self.freqs)
-                for s in states:
-                    cid = self.new_column(after, float(sample_rate()))
-                    seq.insert(pos, (cid, int(s)))
+                for _ in range(size):
+                    cls = self.sample_class()
+                    s = int(self.rng.choice(20, p=self.class_freqs[cls]))
+                    cid = self.new_column(after, float(sample_rate()), cls)
+                    seq.insert(pos, (cid, s))
                     after = cid
                     pos += 1
             else:
@@ -167,7 +203,8 @@ def evolve_alignment(
     """Simulate one alignment along ``tree`` (single attempt, may contain
     duplicates)."""
     model = get_model(cfg.substitution)
-    ev = _Evolver(model, rng)
+    mixture = load_mdef_nexus(cfg.mdef) if cfg.mdef else None
+    ev = _Evolver(model, rng, mixture)
     rate_vec, rate_one = _gamma_rate_sampler(cfg, rng, alpha_prior)
 
     root_seq = ev.root_sequence(cfg.length, rate_vec(cfg.length))

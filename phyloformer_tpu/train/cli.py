@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     log.add_argument("--log-every", type=int, default=100)
     log.add_argument("--run-name", "-n", default=None)
     log.add_argument("--project-name", "-p", default="PHYLOFORMER_EXPERIMENTS")
+    log.add_argument("--wandb", action="store_true",
+                     help="also log metrics to wandb in offline mode "
+                          "(reference behavior; requires wandb installed)")
+    log.add_argument("--tensorboard", action="store_true",
+                     help="also log metrics to TensorBoard event files")
 
     util = p.add_argument_group("utils")
     util.add_argument("--find-batch-size", action="store_true",
@@ -245,6 +250,9 @@ def main(argv=None) -> int:
         no_improvement_stop=args.no_improvement_stop,
         output_dir=args.output_dir,
         run_name=args.run_name or identifier_from_args(args),
+        use_wandb=args.wandb,
+        use_tensorboard=args.tensorboard,
+        project_name=args.project_name,
     )
 
     summary = fit(

@@ -19,7 +19,7 @@ import json
 import math
 import time
 from pathlib import Path
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable, Optional, Sequence
 
 import numpy as np
 
@@ -42,15 +42,23 @@ class FitConfig:
     output_dir: str = "."
     run_name: str = "phyloformer"
     keep_checkpoints: Optional[int] = None  # None = keep all (reference save_top_k=-1)
+    # optional metric sinks next to the JSONL writer
+    use_wandb: bool = False  # offline mode, reference behavior
+    use_tensorboard: bool = False
+    project_name: str = "PHYLOFORMER_EXPERIMENTS"  # reference default project
 
 
 class MetricLogger:
-    """JSONL metric writer (one object per event)."""
+    """JSONL metric writer (one object per event), with optional extra sinks
+    (wandb / TensorBoard) mirroring the reference's wandb-offline logging
+    (`/root/reference/train_distributed.py:363-369`) under the same scalar
+    names (train_loss, learning_rate, val_loss, val_mae, val_mre)."""
 
-    def __init__(self, path):
+    def __init__(self, path, sinks: Sequence = ()):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = open(self.path, "a")
+        self.sinks = [s for s in sinks if s is not None]
 
     def log(self, step: int, **scalars):
         rec = {"step": int(step), "time": time.time()}
@@ -63,9 +71,61 @@ class MetricLogger:
                 rec[k] = v
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
+        numeric = {k: v for k, v in rec.items()
+                   if k not in ("step", "time") and isinstance(v, float)}
+        for sink in self.sinks:
+            sink.log(int(step), numeric)
 
     def close(self):
         self._fh.close()
+        for sink in self.sinks:
+            sink.close()
+
+
+def make_wandb_sink(project: str, run_name: str, save_dir, offline: bool = True,
+                    config: Optional[Dict] = None):
+    """Optional wandb sink (the reference logs offline and syncs manually,
+    `train_distributed.py:364-369`, `README.md:227`).  Returns None with a
+    warning when wandb is not installed."""
+    try:
+        import wandb
+    except ImportError:
+        print("wandb not installed; metrics go to JSONL only", flush=True)
+        return None
+    run = wandb.init(
+        project=project, name=run_name, dir=str(save_dir),
+        mode="offline" if offline else "online", config=config or {},
+    )
+
+    class _WandbSink:
+        def log(self, step, scalars):
+            run.log(scalars, step=step)
+
+        def close(self):
+            run.finish()
+
+    return _WandbSink()
+
+
+def make_tensorboard_sink(logdir):
+    """Optional TensorBoard sink (tensorboardX).  Returns None with a warning
+    when unavailable."""
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        print("tensorboardX not installed; metrics go to JSONL only", flush=True)
+        return None
+    writer = SummaryWriter(str(logdir))
+
+    class _TbSink:
+        def log(self, step, scalars):
+            for k, v in scalars.items():
+                writer.add_scalar(k, v, step)
+
+        def close(self):
+            writer.close()
+
+    return _TbSink()
 
 
 def evaluate(eval_step, params, loader: Iterable) -> Dict[str, float]:
@@ -94,7 +154,15 @@ def fit(
     """Run training; returns a summary dict with final state + history."""
     out_dir = Path(fcfg.output_dir)
     run_dir = out_dir / f"checkpoints_{fcfg.run_name}"
-    logger = MetricLogger(out_dir / f"{fcfg.run_name}_metrics.jsonl")
+    sinks = []
+    if fcfg.use_wandb:
+        sinks.append(make_wandb_sink(
+            fcfg.project_name, fcfg.run_name, out_dir,
+            config=dataclasses.asdict(tcfg),
+        ))
+    if fcfg.use_tensorboard:
+        sinks.append(make_tensorboard_sink(out_dir / f"tb_{fcfg.run_name}"))
+    logger = MetricLogger(out_dir / f"{fcfg.run_name}_metrics.jsonl", sinks=sinks)
     ckpt = CheckpointManager(run_dir, max_to_keep=fcfg.keep_checkpoints)
 
     state, tx = create_train_state(cfg, tcfg, params=init_params)

@@ -208,3 +208,48 @@ def test_rate_table_io(tmp_path):
     model = coevolution_model_from_files(rates_path, stat_path)
     direct = build_ctmc(exch, freqs, states)
     np.testing.assert_allclose(model.rate_matrix, direct.rate_matrix, atol=1e-6)
+
+
+def test_mdef_frequency_mixture(tmp_path):
+    """IQ-TREE -mdef custom frequency-mixture models (the reference's
+    --custom-model surface, alisim.py:185-191,255-263): nexus parsing, the
+    reference's +NAME convention, and native simulation whose aggregate
+    amino-acid composition tracks the mixture-weighted class frequencies."""
+    import numpy as np
+
+    from phyloformer_tpu.data.fasta import read_fasta
+    from phyloformer_tpu.sim.models import load_mdef_nexus, parse_custom_model_name
+    from phyloformer_tpu.sim.msa import MsaSimConfig, simulate_msa
+
+    # two sharply different classes: class 1 favors A/R, class 2 favors Y/V
+    f1 = np.full(20, 0.01); f1[0] = f1[1] = 0.41
+    f2 = np.full(20, 0.01); f2[18] = f2[19] = 0.41
+    nex = tmp_path / "custom.nex"
+    nex.write_text(
+        "#nexus\nbegin models;\n"
+        "  [ test mixture ]\n"
+        f"  frequency TST_F1 = {' '.join(f'{x:.4f}' for x in f1)};\n"
+        f"  frequency TST_F2 = {' '.join(f'{x:.4f}' for x in f2)};\n"
+        "  frequency TST_MIX = FMIX{TST_F1:0.5,TST_F2:0.5};\n"
+        "end;\n"
+    )
+    assert parse_custom_model_name(nex) == "TST"
+    mix = load_mdef_nexus(nex)
+    assert mix.name == "TST" and len(mix.classes) == 2
+    assert mix.weights == pytest.approx([0.5, 0.5])
+
+    tree = tmp_path / "t.nwk"
+    tree.write_text("((A:0.05,B:0.05):0.05,(C:0.05,D:0.05):0.05);\n")
+    out = tmp_path / "a.fa"
+    ok, _ = simulate_msa(
+        tree, out, MsaSimConfig(length=2000, mdef=str(nex)),
+        rng=np.random.default_rng(0),
+    )
+    assert ok
+    aln = read_fasta(out)
+    counts = np.bincount(aln.codes.ravel(), minlength=22)[:20]
+    obs = counts / counts.sum()
+    expect = 0.5 * f1 / f1.sum() + 0.5 * f2 / f2.sum()
+    # short branches keep states near equilibrium; composition must track
+    # the mixture (A/R and Y/V each ~20.5%, others ~0.5%)
+    assert np.abs(obs - expect).max() < 0.03

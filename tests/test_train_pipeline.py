@@ -212,3 +212,30 @@ def test_packed_dataset_roundtrip(tiny_dataset, tmp_path):
         assert set(batch) == {"codes", "dists", "site_mask", "seq_mask"}
         seen += batch["codes"].shape[0]
     assert seen == len(pairs)
+
+
+def test_metric_sinks(tmp_path, capsys):
+    """Optional metric sinks next to the JSONL writer: TensorBoard events are
+    written (tensorboardX present in this image) and a missing wandb degrades
+    to a warning + None (reference wandb-offline parity surface,
+    train_distributed.py:363-369)."""
+    from phyloformer_tpu.train.loop import (
+        MetricLogger,
+        make_tensorboard_sink,
+        make_wandb_sink,
+    )
+
+    tb = make_tensorboard_sink(tmp_path / "tb")
+    assert tb is not None
+    logger = MetricLogger(tmp_path / "m.jsonl", sinks=[tb])
+    logger.log(1, train_loss=0.5, learning_rate=1e-4)
+    logger.log(2, train_loss=0.4, note="strings skipped by sinks")
+    logger.close()
+    events = list((tmp_path / "tb").glob("events.*"))
+    assert events and events[0].stat().st_size > 0
+    assert len((tmp_path / "m.jsonl").read_text().splitlines()) == 2
+
+    import importlib.util
+    if importlib.util.find_spec("wandb") is None:
+        assert make_wandb_sink("P", "run", tmp_path) is None
+        assert "wandb not installed" in capsys.readouterr().out
