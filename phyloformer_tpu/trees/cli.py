@@ -15,6 +15,14 @@ import sys
 from pathlib import Path
 
 
+def _build_one(spec):
+    """Worker for fastme-dir parallelism (module-level for pickling)."""
+    path, method, nni, spr = spec
+    from .native import build_tree_from_phylip as _btp
+
+    return _btp(Path(path).read_text(), method, nni, spr)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="pf-tree")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -32,6 +40,8 @@ def main(argv=None) -> int:
     p_fd.add_argument("-m", "--method", default="bme", choices=["bme", "nj", "bionj"])
     p_fd.add_argument("--nni", action="store_true")
     p_fd.add_argument("--spr", action="store_true")
+    p_fd.add_argument("-j", "--jobs", type=int, default=None,
+                      help="parallel workers (default: CPU count)")
 
     p_ml = sub.add_parser("mlrefine", help="likelihood-scored NNI refinement of a tree")
     p_ml.add_argument("alignment")
@@ -69,14 +79,29 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "fastme-dir":
+        import os
+        from concurrent.futures import ProcessPoolExecutor
+
         outdir = Path(args.outdir)
         outdir.mkdir(parents=True, exist_ok=True)
-        count = 0
-        for phy in sorted(Path(args.matdir).glob("*.phy")):
-            nwk = build_tree_from_phylip(phy.read_text(), args.method, args.nni, args.spr)
-            (outdir / (phy.stem + ".nwk")).write_text(nwk + "\n")
-            count += 1
-        print(f"built {count} trees -> {outdir}", file=sys.stderr)
+        mats = sorted(Path(args.matdir).glob("*.phy"))
+        jobs = args.jobs or os.cpu_count() or 1
+        if jobs > 1 and len(mats) > 1:
+            with ProcessPoolExecutor(max_workers=jobs) as pool:
+                for phy, nwk in zip(
+                    mats,
+                    pool.map(_build_one,
+                             [(str(p), args.method, args.nni, args.spr)
+                              for p in mats]),
+                ):
+                    (outdir / (phy.stem + ".nwk")).write_text(nwk + "\n")
+        else:
+            for phy in mats:
+                nwk = build_tree_from_phylip(
+                    phy.read_text(), args.method, args.nni, args.spr
+                )
+                (outdir / (phy.stem + ".nwk")).write_text(nwk + "\n")
+        print(f"built {len(mats)} trees -> {outdir}", file=sys.stderr)
         return 0
 
     if args.cmd == "mlrefine":
