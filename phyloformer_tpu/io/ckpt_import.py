@@ -112,3 +112,88 @@ def _infer_config(params: Params) -> PhyloformerConfig:
     n_blocks = len(params["layers"])
     n_heads = int(np.asarray(params["layers"][0]["row_attn"]["wq"]).shape[1])
     return PhyloformerConfig(n_blocks=n_blocks, n_heads=n_heads, embed_dim=d)
+
+
+def _to_conv(w: np.ndarray) -> np.ndarray:
+    """our (in, out) -> torch Conv2d 1x1 (out, in, 1, 1)."""
+    return np.ascontiguousarray(np.asarray(w, np.float32).T)[:, :, None, None]
+
+
+def _to_lin(w: np.ndarray) -> np.ndarray:
+    """our (in, out) -> torch Linear (out, in)."""
+    return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+
+def state_dict_from_params(
+    params: Params, cfg: PhyloformerConfig, include_seq2pair: bool = True,
+    seq2pair_n: int = 50,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_from_state_dict`: emit the reference's exact
+    161-key ``model.``-prefixed state dict (torch layouts: Conv2d 1x1 kernels
+    ``(out,in,1,1)`` for embedding/FFN/head, Linear ``(out,in)`` for the
+    attention projections, and the non-learnable ``model.seq2pair`` buffer of
+    shape ``(C(n,2), n)`` the shipped checkpoints carry at n=50)."""
+    state: Dict[str, np.ndarray] = {}
+
+    def put_norm(key, p):
+        state[f"{key}.weight"] = np.asarray(p["scale"], np.float32)
+        state[f"{key}.bias"] = np.asarray(p["bias"], np.float32)
+
+    def put_attn(key, p):
+        for ours, theirs in [("wq", "q_proj"), ("wk", "k_proj"),
+                             ("wv", "v_proj"), ("wo", "out_proj")]:
+            state[f"{key}.{theirs}.weight"] = _to_lin(p[ours])
+            state[f"{key}.{theirs}.bias"] = np.asarray(
+                p["b" + ours[1]], np.float32
+            )
+
+    state["model.embedding_block.0.weight"] = _to_conv(params["embed"]["w"])
+    state["model.embedding_block.0.bias"] = np.asarray(params["embed"]["b"], np.float32)
+    for i, layer in enumerate(params["layers"]):
+        base = f"model.attention_blocks.{i}"
+        put_norm(f"{base}.row_norm", layer["row_norm"])
+        put_attn(f"{base}.row_attention", layer["row_attn"])
+        put_norm(f"{base}.col_norm", layer["col_norm"])
+        put_attn(f"{base}.col_attention", layer["col_attn"])
+        put_norm(f"{base}.ffn_norm", layer["ffn_norm"])
+        state[f"{base}.ffn.0.weight"] = _to_conv(layer["ffn"]["w1"])
+        state[f"{base}.ffn.0.bias"] = np.asarray(layer["ffn"]["b1"], np.float32)
+        state[f"{base}.ffn.3.weight"] = _to_conv(layer["ffn"]["w2"])
+        state[f"{base}.ffn.3.bias"] = np.asarray(layer["ffn"]["b2"], np.float32)
+    state["model.pwFNN.0.weight"] = _to_conv(params["head"]["w"])
+    state["model.pwFNN.0.bias"] = np.asarray(params["head"]["b"], np.float32)
+    if include_seq2pair:
+        from ..data.pairs import pair_indices
+
+        i_idx, j_idx = pair_indices(seq2pair_n)
+        m = np.zeros((len(i_idx), seq2pair_n), np.float32)
+        m[np.arange(len(i_idx)), i_idx] = 1.0
+        m[np.arange(len(j_idx)), j_idx] = 1.0
+        state["model.seq2pair"] = m
+    return state
+
+
+def save_reference_checkpoint(path, params: Params, cfg: PhyloformerConfig,
+                              include_seq2pair: bool = True) -> None:
+    """Write a reference-format PyTorch ``.ckpt`` (zip pickle, no torch
+    needed) that the reference tooling consumes directly
+    (`/root/reference/infer_alns.py:71-82`): top-level ``state_dict`` +
+    ``hyper_parameters`` with the reference's key names."""
+    import collections
+
+    from .torch_pickle import save_torch_checkpoint
+
+    host = {
+        k: np.asarray(v, np.float32)
+        for k, v in state_dict_from_params(params, cfg, include_seq2pair).items()
+    }
+    obj = {
+        "state_dict": collections.OrderedDict(host),
+        "hyper_parameters": {
+            "nb_blocks": int(cfg.n_blocks),
+            "nb_heads": int(cfg.n_heads),
+            "embed_dim": int(cfg.embed_dim),
+            "dropout": float(cfg.dropout),
+        },
+    }
+    save_torch_checkpoint(path, obj)

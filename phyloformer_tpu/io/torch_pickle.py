@@ -153,3 +153,129 @@ def load_reference_checkpoint(path) -> Tuple[Dict[str, np.ndarray], Dict[str, An
     state = {k: np.asarray(v) for k, v in obj["state_dict"].items()}
     hparams = dict(obj.get("hyper_parameters", {}) or {})
     return state, hparams
+
+
+# ---------------------------------------------------------------------------
+# Writer: produce torch zip checkpoints without importing torch
+# ---------------------------------------------------------------------------
+#
+# The inverse of the reader above, for interop the other way: checkpoints we
+# train on TPU can be handed back to the reference PyTorch tooling
+# (`torch.load` at `/root/reference/infer_alns.py:71`).  A custom pure-Python
+# pickler emits ``GLOBAL torch.FloatStorage`` / ``torch._utils.
+# _rebuild_tensor_v2`` opcodes through inert stand-ins, so writing needs no
+# torch import (torch and JAX deadlock in one process here — see
+# docs/ROADMAP.md gotchas).  Content stays inside torch's
+# ``weights_only=True`` allowlist (tensors, dicts, OrderedDict, scalars).
+
+_NUMPY_TO_STORAGE = {
+    np.dtype("<f4"): "FloatStorage",
+    np.dtype("<f8"): "DoubleStorage",
+    np.dtype("<f2"): "HalfStorage",
+    np.dtype("<i8"): "LongStorage",
+    np.dtype("<i4"): "IntStorage",
+    np.dtype("<i2"): "ShortStorage",
+    np.dtype("<i1"): "CharStorage",
+    np.dtype("<u1"): "ByteStorage",
+    np.dtype("?"): "BoolStorage",
+}
+
+
+def _torch_global(module: str, name: str):
+    """A callable/class stand-in that pickles as ``GLOBAL module name``."""
+
+    def fn(*args, **kwargs):  # pragma: no cover - never called at write time
+        raise RuntimeError("write-time stand-in")
+
+    fn._torch_global = (module, name)
+    fn.__qualname__ = name
+    return fn
+
+
+_REBUILD_STANDIN = _torch_global("torch._utils", "_rebuild_tensor_v2")
+_STORAGE_STANDINS = {
+    name: _torch_global("torch", name) for name in _NUMPY_TO_STORAGE.values()
+}
+
+
+class _PendingStorage:
+    """Marker routed through persistent_id; collects raw storage bytes."""
+
+    def __init__(self, arr: np.ndarray, storage_name: str):
+        self.arr = arr
+        self.storage_name = storage_name
+
+
+class _TorchPickler(pickle._Pickler):
+    """Pickler that understands numpy arrays as torch tensors."""
+
+    def __init__(self, file, protocol=2):
+        super().__init__(file, protocol)
+        self.storages: Dict[str, bytes] = {}
+
+    def save_global(self, obj, name=None):
+        fq = getattr(obj, "_torch_global", None)
+        if fq is not None:
+            self.write(pickle.GLOBAL + f"{fq[0]}\n{fq[1]}\n".encode("ascii"))
+            self.memoize(obj)
+            return
+        return super().save_global(obj, name)
+
+    dispatch = dict(pickle._Pickler.dispatch)
+    # route function stand-ins through OUR save_global (the inherited
+    # dispatch table binds the parent's)
+    import types as _types
+
+    dispatch[_types.FunctionType] = save_global
+
+    def _save_ndarray(self, arr: np.ndarray):
+        arr = np.ascontiguousarray(arr)
+        dtype = arr.dtype.newbyteorder("<")
+        storage_name = _NUMPY_TO_STORAGE.get(dtype)
+        if storage_name is None:
+            raise ValueError(f"unsupported tensor dtype for torch export: {arr.dtype}")
+        shape = tuple(int(s) for s in arr.shape)
+        # contiguous element strides, torch convention
+        strides, acc = [], 1
+        for s in reversed(shape):
+            strides.append(acc)
+            acc *= s
+        strides = tuple(reversed(strides))
+        import collections
+
+        rv = (
+            _REBUILD_STANDIN,
+            (
+                _PendingStorage(arr.astype(dtype, copy=False), storage_name),
+                0,
+                shape,
+                strides,
+                False,
+                collections.OrderedDict(),
+            ),
+        )
+        self.save_reduce(*rv, obj=arr)
+
+    dispatch[np.ndarray] = _save_ndarray
+
+    def persistent_id(self, obj):
+        if isinstance(obj, _PendingStorage):
+            key = str(len(self.storages))
+            self.storages[key] = obj.arr.tobytes()
+            return ("storage", _STORAGE_STANDINS[obj.storage_name], key, "cpu",
+                    int(obj.arr.size))
+        return None
+
+
+def save_torch_checkpoint(path, obj: Any, prefix: str = "archive") -> None:
+    """Write ``obj`` (numpy arrays become torch tensors) as a torch zip
+    checkpoint readable by ``torch.load`` (incl. ``weights_only=True``)."""
+    buf = io.BytesIO()
+    pickler = _TorchPickler(buf, protocol=2)
+    pickler.dump(obj)
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as zf:
+        zf.writestr(f"{prefix}/data.pkl", buf.getvalue())
+        for key, raw in pickler.storages.items():
+            zf.writestr(f"{prefix}/data/{key}", raw)
+        zf.writestr(f"{prefix}/version", "3\n")
+        zf.writestr(f"{prefix}/byteorder", "little")
