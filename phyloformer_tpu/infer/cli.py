@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="output directory for .phy distance matrices")
     parser.add_argument("--trees", "-t", action="store_true",
                         help="also write NJ trees (<stem>.nj.nwk)")
+    parser.add_argument("--fastme", action="store_true",
+                        help="also run the native BME+NNI+SPR search on each "
+                             "matrix and write final trees (<stem>.nwk) — the "
+                             "full reference pipeline in one command")
+    parser.add_argument("--tree-method", default="bme",
+                        choices=["bme", "nj", "bionj"],
+                        help="construction method for --fastme")
     parser.add_argument("--precision", choices=["float32", "bfloat16"],
                         default="float32", help="parameter/activation dtype")
     parser.add_argument("--matmul-precision",
@@ -130,6 +137,13 @@ def main(argv=None) -> int:
             tree = neighbor_joining(dm.astype(np.float64), aln.ids)
             with open(os.path.join(out_dir, f"{stem}.nj.nwk"), "w") as fh:
                 fh.write(tree.to_newick() + "\n")
+        if args.fastme:
+            from ..trees.native import build_tree
+
+            nwk = build_tree(dm.astype(np.float64), aln.ids,
+                             method=args.tree_method, nni=True, spr=True)
+            with open(os.path.join(out_dir, f"{stem}.nwk"), "w") as fh:
+                fh.write(nwk + "\n")
 
     if args.stats:
         stats = dict(engine.stats)

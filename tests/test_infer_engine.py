@@ -68,7 +68,7 @@ def test_cli_end_to_end(tmp_path, testdata_dir, goldens_dir):
     out = tmp_path / "out"
     res = subprocess.run(
         [sys.executable, "-m", "phyloformer_tpu.infer.cli", CKPT, str(msas),
-         "-o", str(out), "--trees", "--stats"],
+         "-o", str(out), "--trees", "--fastme", "--stats"],
         capture_output=True, text=True, timeout=600,
     )
     assert res.returncode == 0, res.stderr
@@ -88,6 +88,10 @@ def test_cli_end_to_end(tmp_path, testdata_dir, goldens_dir):
 
     tree = read_newick(out / "0_20_tips.nj.nwk")
     assert sorted(tree.leaf_names()) == sorted(aln.ids)
+
+    # --fastme: the one-command pipeline writes final BME+NNI+SPR trees
+    tree2 = read_newick(out / "0_20_tips.nwk")
+    assert sorted(tree2.leaf_names()) == sorted(aln.ids)
 
 
 def test_cli_rejects_non_fasta(tmp_path):
