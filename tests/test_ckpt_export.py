@@ -112,3 +112,38 @@ def test_pf_ckpt_cli(tmp_path):
     assert ckpt_main(["inspect", str(npz)]) == 0
     params, cfg, _ = load_pretrained(out)
     assert cfg.n_blocks == 6
+
+
+def test_orbax_train_output_exports(tmp_path):
+    """The fine-tune workflow loop: our orbax training checkpoints export to
+    a torch-readable reference .ckpt via pf-ckpt (torch verified in a
+    subprocess; torch and JAX deadlock in-process here)."""
+    import jax
+
+    from phyloformer_tpu.io.checkpoint import CheckpointManager
+    from phyloformer_tpu.io.cli import main as ckpt_main
+    from phyloformer_tpu.models.params import PhyloformerConfig, init_params
+
+    cfg = PhyloformerConfig(n_blocks=2, n_heads=4, embed_dim=64)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ckpt_dir = tmp_path / "checkpoints_run"
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(3, {"params": params},
+             metadata={"config": {"n_blocks": 2, "n_heads": 4, "embed_dim": 64}})
+    mgr.close()
+
+    out = tmp_path / "exported.ckpt"
+    assert ckpt_main(["export", str(ckpt_dir), str(out)]) == 0
+
+    script = f"""
+import torch
+ckpt = torch.load({str(out)!r}, map_location="cpu", weights_only=True)
+assert ckpt["hyper_parameters"]["nb_blocks"] == 2
+assert ckpt["state_dict"]["model.embedding_block.0.weight"].shape == (64, 22, 1, 1)
+assert ckpt["state_dict"]["model.attention_blocks.1.ffn.0.weight"].shape == (256, 64, 1, 1)
+print("torch read ok")
+"""
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "torch read ok" in r.stdout
