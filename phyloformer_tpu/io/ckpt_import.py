@@ -189,10 +189,19 @@ def save_reference_checkpoint(path, params: Params, cfg: PhyloformerConfig,
     }
     obj = {
         "state_dict": collections.OrderedDict(host),
+        # Both spellings: the shipped checkpoints use nb_blocks/nb_heads/
+        # embed_dim, but the reference constructor takes n_blocks/n_heads/
+        # h_dim and silently swallows unknown names via **kwargs
+        # (`model.py:112-122` vs `infer_alns.py:72-74`) — without the n_*
+        # spellings a non-default architecture would silently load as the
+        # 6/4/64 default over there.
         "hyper_parameters": {
             "nb_blocks": int(cfg.n_blocks),
             "nb_heads": int(cfg.n_heads),
             "embed_dim": int(cfg.embed_dim),
+            "n_blocks": int(cfg.n_blocks),
+            "n_heads": int(cfg.n_heads),
+            "h_dim": int(cfg.embed_dim),
             "dropout": float(cfg.dropout),
         },
     }

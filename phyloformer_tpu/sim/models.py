@@ -141,6 +141,10 @@ class FrequencyMixture:
     name: str
     classes: "list[np.ndarray]"  # each (20,), normalized
     weights: np.ndarray  # (k,), sums to 1
+    rates: Optional[np.ndarray] = None  # (k,) per-class rate multipliers
+
+    def class_rates(self) -> np.ndarray:
+        return self.rates if self.rates is not None else np.ones(len(self.classes))
 
     def class_models(self, base: SubstitutionModel) -> "list[SubstitutionModel]":
         return [
@@ -197,17 +201,20 @@ def load_mdef_nexus(path) -> FrequencyMixture:
 
     if fmix is not None:
         mix_name, parts = fmix
-        sel, weights = [], []
+        sel, weights, rates = [], [], []
         for part in parts:
-            cname, _, w = part.partition(":")
-            cname = cname.strip()
+            # IQ-TREE component syntax: NAME[:rate[:weight]]
+            fields = [f.strip() for f in part.split(":")]
+            cname = fields[0]
             if cname not in classes:
                 raise ValueError(f"{path}: FMIX references unknown class {cname!r}")
             sel.append(classes[cname])
-            weights.append(float(w) if w else 1.0)
+            rates.append(float(fields[1]) if len(fields) > 1 and fields[1] else 1.0)
+            weights.append(float(fields[2]) if len(fields) > 2 and fields[2] else 1.0)
         w = np.asarray(weights, dtype=np.float64)
         name = mix_name.split("_")[0]
-        return FrequencyMixture(name, sel, w / w.sum())
+        return FrequencyMixture(name, sel, w / w.sum(),
+                                np.asarray(rates, dtype=np.float64))
 
     name = parse_custom_model_name(path) or "CUSTOM"
     sel = [classes[k] for k in classes]  # insertion order

@@ -85,6 +85,10 @@ class _Evolver:
         self.left = np.stack([e[1] for e in eig])  # (K, 20, 20)
         self.right = np.stack([e[2] for e in eig])  # (K, 20, 20)
         self.class_freqs = np.stack([m.freqs for m in models])  # (K, 20)
+        # per-class rate multipliers (IQ-TREE FMIX{NAME:rate:weight})
+        self.class_rate = (
+            np.asarray(mixture.class_rates()) if mixture else np.ones(1)
+        )
         self.freqs = (self.class_weights[:, None] * self.class_freqs).sum(0)
         # global column order: list of column ids; columns only ever inserted
         self.column_order: List[int] = []
@@ -92,10 +96,22 @@ class _Evolver:
         self.col_rate: Dict[int, float] = {}
         self.col_class: Dict[int, int] = {}
 
-    def sample_class(self) -> int:
-        if len(self.class_weights) == 1:
-            return 0
-        return int(self.rng.choice(len(self.class_weights), p=self.class_weights))
+    def sample_classes_and_states(self, count: int):
+        """Vectorized (class, root-state) draws for ``count`` fresh columns."""
+        k = len(self.class_weights)
+        if k == 1:
+            cls = np.zeros(count, dtype=np.int64)
+            states = self.rng.choice(20, size=count, p=self.class_freqs[0])
+        else:
+            cls = self.rng.choice(k, size=count, p=self.class_weights)
+            states = np.empty(count, dtype=np.int64)
+            for c in range(k):
+                m = cls == c
+                if m.any():
+                    states[m] = self.rng.choice(
+                        20, size=int(m.sum()), p=self.class_freqs[c]
+                    )
+        return cls, states
 
     def new_column(self, after: Optional[int], rate: float, cls: int = 0) -> int:
         cid = self._next_col
@@ -109,14 +125,15 @@ class _Evolver:
         return cid
 
     def root_sequence(self, length: int, rates: np.ndarray) -> List[Tuple[int, int]]:
+        cls, states = self.sample_classes_and_states(length)
         seq = []
         prev = None
         for i in range(length):
-            cls = self.sample_class()
-            state = int(self.rng.choice(20, p=self.class_freqs[cls]))
-            cid = self.new_column(prev, float(rates[i]), cls)
+            cid = self.new_column(
+                prev, float(rates[i] * self.class_rate[cls[i]]), int(cls[i])
+            )
             prev = cid
-            seq.append((cid, state))
+            seq.append((cid, int(states[i])))
         return seq
 
     def substitute(self, seq, t: float):
@@ -151,11 +168,11 @@ class _Evolver:
                 size = int(self.rng.geometric(1.0 / cfg.insertion_mean_len))
                 pos = int(self.rng.integers(0, len(seq) + 1))
                 after = seq[pos - 1][0] if pos > 0 else None
-                for _ in range(size):
-                    cls = self.sample_class()
-                    s = int(self.rng.choice(20, p=self.class_freqs[cls]))
-                    cid = self.new_column(after, float(sample_rate()), cls)
-                    seq.insert(pos, (cid, s))
+                cls, states = self.sample_classes_and_states(size)
+                for c, s in zip(cls, states):
+                    rate = float(sample_rate()) * float(self.class_rate[c])
+                    cid = self.new_column(after, rate, int(c))
+                    seq.insert(pos, (cid, int(s)))
                     after = cid
                     pos += 1
             else:

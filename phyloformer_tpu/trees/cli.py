@@ -87,6 +87,11 @@ def main(argv=None) -> int:
         mats = sorted(Path(args.matdir).glob("*.phy"))
         jobs = args.jobs or os.cpu_count() or 1
         if jobs > 1 and len(mats) > 1:
+            # build the native library once before forking: concurrent
+            # first-use builds in the workers would race on native/build/
+            from .native import build_native
+
+            build_native()
             with ProcessPoolExecutor(max_workers=jobs) as pool:
                 for phy, nwk in zip(
                     mats,

@@ -230,13 +230,28 @@ def test_mdef_frequency_mixture(tmp_path):
         "  [ test mixture ]\n"
         f"  frequency TST_F1 = {' '.join(f'{x:.4f}' for x in f1)};\n"
         f"  frequency TST_F2 = {' '.join(f'{x:.4f}' for x in f2)};\n"
-        "  frequency TST_MIX = FMIX{TST_F1:0.5,TST_F2:0.5};\n"
+        "  frequency TST_MIX = FMIX{TST_F1:1.0:0.5,TST_F2:1.0:0.5};\n"
         "end;\n"
     )
     assert parse_custom_model_name(nex) == "TST"
     mix = load_mdef_nexus(nex)
     assert mix.name == "TST" and len(mix.classes) == 2
     assert mix.weights == pytest.approx([0.5, 0.5])
+    assert mix.class_rates() == pytest.approx([1.0, 1.0])
+
+    # IQ-TREE's NAME[:rate] shorthand: one field after the name is a RATE
+    # (uniform weights), not a weight
+    nex2 = tmp_path / "rates.nex"
+    nex2.write_text(
+        "begin models;\n"
+        f"  frequency TSR_F1 = {' '.join(f'{x:.4f}' for x in f1)};\n"
+        f"  frequency TSR_F2 = {' '.join(f'{x:.4f}' for x in f2)};\n"
+        "  frequency TSR_MIX = FMIX{TSR_F1:0.5,TSR_F2:2.0};\n"
+        "end;\n"
+    )
+    mix2 = load_mdef_nexus(nex2)
+    assert mix2.weights == pytest.approx([0.5, 0.5])
+    assert mix2.class_rates() == pytest.approx([0.5, 2.0])
 
     tree = tmp_path / "t.nwk"
     tree.write_text("((A:0.05,B:0.05):0.05,(C:0.05,D:0.05):0.05);\n")
