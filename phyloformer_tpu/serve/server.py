@@ -149,10 +149,16 @@ def make_handler(batcher: MicroBatcher, model_info: dict, timeout_s: float = 300
                 "ids": aln.ids,
                 "distances": np.round(dm, 10).tolist(),
             }
-            if params.get("tree", [""])[0] == "nj":
+            tree_kind = params.get("tree", [""])[0]
+            if tree_kind == "nj":
                 from ..trees.nj import neighbor_joining
 
                 out["newick"] = neighbor_joining(dm.astype(np.float64), aln.ids).to_newick()
+            elif tree_kind in ("bme", "fastme"):
+                from ..trees.native import build_tree
+
+                out["newick"] = build_tree(dm.astype(np.float64), aln.ids,
+                                           method="bme", nni=True, spr=True)
             self._send_json(200, out)
 
     return Handler

@@ -74,6 +74,13 @@ def test_predict_phylip_and_tree(server, testdata_dir):
     tree = parse_newick(obj["newick"])
     assert sorted(tree.leaf_names()) == sorted(obj["ids"])
 
+    # tree=bme: full BME+NNI+SPR search server-side (native toolkit)
+    status, body = _post(server.port, "/predict?tree=bme", fasta)
+    assert status == 200
+    obj = json.loads(body)
+    tree = parse_newick(obj["newick"])
+    assert sorted(tree.leaf_names()) == sorted(obj["ids"])
+
 
 def test_json_body_and_microbatching(server, testdata_dir):
     """Concurrent requests coalesce into fewer engine batches."""
