@@ -6,8 +6,9 @@ long-lived service:
 
 - ``POST /predict``: body = FASTA text (or JSON ``{"fasta": "..."}``).
   Returns JSON ``{"ids": [...], "distances": [[...]]}``; with
-  ``?format=phylip`` the 10-decimal PHYLIP text; with ``?tree=nj`` a
-  ``"newick"`` field is added.
+  ``?format=phylip`` the 10-decimal PHYLIP text; with ``?tree=nj`` (or
+  ``?tree=bme`` for the full native BME+NNI+SPR search) a ``"newick"``
+  field is added.
 - ``GET /healthz``: model/config/stats.
 
 Concurrent requests are coalesced by a micro-batcher (wait up to
