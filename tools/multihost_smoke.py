@@ -1,13 +1,20 @@
-"""Two-process jax.distributed training smoke (multi-host fake on CPU).
+"""Two-process jax.distributed smoke (multi-host fake on CPU).
 
 Each process owns 4 virtual CPU devices; the global mesh is
-('data'=8, 'pair'=1) spanning both processes.  Every process feeds its local
-shard of a global batch; XLA reduces gradients across processes.  Success
-criterion: both processes finish one step and report the SAME finite loss
-(printed as JSON on stdout).
+('data'=8, 'pair'=1) spanning both processes.
+
+Modes:
+- ``train`` (default): every process feeds its local shard of a global
+  batch; XLA reduces gradients across processes.  Success criterion: both
+  processes finish one step and report the SAME finite loss.
+- ``infer``: the multi-host inference path (`pf-infer --multihost`): each
+  process takes its `host_local_slice` of an alignment list, runs the local
+  engine, and reports which indices it handled + a prediction checksum.
+  The test asserts the slices partition the list and checksums agree with
+  a single-process run.
 
 Usage (the test launches both):
-    python tools/multihost_smoke.py <process_id> <num_processes> <coord_port>
+    python tools/multihost_smoke.py <process_id> <num_processes> <coord_port> [mode]
 """
 
 import json
@@ -15,6 +22,7 @@ import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "train"
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -38,6 +46,33 @@ from phyloformer_tpu.data.pairs import n_pairs  # noqa: E402
 from phyloformer_tpu.models import PhyloformerConfig  # noqa: E402
 from phyloformer_tpu.parallel import batch_sharding, make_mesh  # noqa: E402
 from phyloformer_tpu.train import TrainConfig, create_train_state, make_train_step  # noqa: E402
+
+if mode == "infer":
+    from phyloformer_tpu.data.fasta import Alignment
+    from phyloformer_tpu.infer.engine import InferenceConfig, InferenceEngine
+    from phyloformer_tpu.models import PhyloformerConfig as _Cfg
+    from phyloformer_tpu.models.params import init_params
+    from phyloformer_tpu.parallel import host_local_slice
+
+    rng = np.random.default_rng(0)  # same stream on every process
+    cfg_i = _Cfg(n_blocks=1, n_heads=2, embed_dim=16)
+    params = init_params(jax.random.PRNGKey(7), cfg_i)
+    alns = [
+        Alignment(codes=rng.integers(0, 20, (6, 32)).astype(np.int8),
+                  ids=[f"T{j}" for j in range(6)])
+        for _ in range(5)
+    ]
+    start, stop = host_local_slice(len(alns))
+    engine = InferenceEngine(params, cfg_i, InferenceConfig(
+        n_buckets=(6,), l_buckets=(32,)))
+    preds = engine.predict(alns[start:stop])
+    print(json.dumps({
+        "process": pid,
+        "indices": list(range(start, stop)),
+        "checksums": [round(float(np.sum(p)), 6) for p in preds],
+    }))
+    jax.distributed.shutdown()
+    sys.exit(0)
 
 cfg = PhyloformerConfig(n_blocks=1, n_heads=2, embed_dim=16)
 tcfg = TrainConfig(total_steps=10, warmup_steps=1)
