@@ -179,7 +179,13 @@ def main(argv=None) -> int:
 
     nw = args.num_workers
     if nw is None:
-        nw = max(1, min(8, (os.cpu_count() or 2) - 1))
+        # SLURM autodetect, reference semantics (train_distributed.py:376-386):
+        # workers from the allocated CPUs, else from the machine cpu count
+        slurm_cpus = os.environ.get("SLURM_CPUS_PER_TASK")
+        if slurm_cpus and slurm_cpus.isdigit():
+            nw = max(1, int(slurm_cpus) - 1)
+        else:
+            nw = max(1, min(8, (os.cpu_count() or 2) - 1))
     lcfg = LoaderConfig(batch_size=args.batch_size, num_workers=nw, seed=args.seed)
     if packed_ds is not None:
         from .packed import PackedBucketedLoader
