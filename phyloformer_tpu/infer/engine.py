@@ -42,6 +42,11 @@ class InferenceConfig:
     matmul_precision: str = "float32"
     use_pallas: bool = False  # fused Pallas axial-block kernels (TPU)
     allow_oversize: bool = True  # n/L beyond last bucket: exact-shape fallback
+    # Round device batch sizes up to powers of two (padding rows are fully
+    # masked no-ops).  Bounds jit retraces to log2(max_batch_size) per bucket
+    # shape — essential for serving, where request bursts otherwise produce a
+    # fresh compile per distinct batch size.
+    pad_batch_sizes: bool = False
 
 
 def _bucketize(value: int, buckets: Sequence[int], allow_oversize: bool) -> int:
@@ -147,6 +152,8 @@ class InferenceEngine:
         pending = []  # (shape, idxs, device preds)
         for (pad_n, pad_l), idxs in self._plan(alns):
             bsz = len(idxs)
+            if self.icfg.pad_batch_sizes:
+                bsz = 1 << (bsz - 1).bit_length()  # next power of two
             codes = np.zeros((bsz, pad_n, pad_l), dtype=np.int32)
             site_mask = np.zeros((bsz, pad_l), dtype=bool)
             seq_mask = np.zeros((bsz, pad_n), dtype=bool)

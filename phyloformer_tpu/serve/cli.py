@@ -36,6 +36,10 @@ def main(argv=None) -> int:
             matmul_precision=args.precision,
             use_pallas=args.pallas,
             max_batch_tokens=args.batch_tokens,
+            # bound jit retraces under bursty request loads (padding rows are
+            # masked no-ops; a fresh compile per batch size would stall the
+            # service for minutes on cold shapes)
+            pad_batch_sizes=True,
         ),
     )
     info = {

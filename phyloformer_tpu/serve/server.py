@@ -170,7 +170,12 @@ class InferenceServer:
                  batch_window_ms: float = 20.0):
         self.batcher = MicroBatcher(engine, batch_window_ms)
         handler = make_handler(self.batcher, model_info)
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+        # deep listen backlog: burst loads beyond the OS default (5) must
+        # queue, not get connection-reset
+        server_cls = type(
+            "PFHTTPServer", (ThreadingHTTPServer,), {"request_queue_size": 256}
+        )
+        self.httpd = server_cls((host, port), handler)
         self.port = self.httpd.server_address[1]
 
     def serve_forever(self):
