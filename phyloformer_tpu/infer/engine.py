@@ -169,7 +169,7 @@ class InferenceEngine:
             )
             pending.append(((pad_n, pad_l), idxs, preds))
             self.stats["batches"] += 1
-            self.stats["alignments"] += bsz
+            self.stats["alignments"] += len(idxs)  # real, not batch-padded
 
         for (pad_n, _pad_l), idxs, preds in pending:
             preds = np.asarray(preds)  # sync + D2H
