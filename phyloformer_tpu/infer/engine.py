@@ -133,6 +133,10 @@ class InferenceEngine:
         for (pad_n, pad_l), idxs in sorted(groups.items()):
             tokens_per = n_pairs(pad_n) * pad_l
             bsz = max(1, min(self.icfg.max_batch_size, self.icfg.max_batch_tokens // max(tokens_per, 1)))
+            if self.icfg.pad_batch_sizes and bsz > 1:
+                # round DOWN to a power of two so that predict()'s pad-up of
+                # partial chunks never exceeds the token/size budgets
+                bsz = 1 << (bsz.bit_length() - 1)
             for start in range(0, len(idxs), bsz):
                 batches.append(((pad_n, pad_l), idxs[start : start + bsz]))
         return batches
@@ -169,7 +173,9 @@ class InferenceEngine:
             )
             pending.append(((pad_n, pad_l), idxs, preds))
             self.stats["batches"] += 1
-            self.stats["alignments"] += len(idxs)  # real, not batch-padded
+            # real alignments: not batch-size padding, not the sharded
+            # engine's repeat-padding of the index list
+            self.stats["alignments"] += len(set(idxs))
 
         for (pad_n, _pad_l), idxs, preds in pending:
             preds = np.asarray(preds)  # sync + D2H

@@ -87,8 +87,8 @@ def main(argv=None) -> int:
         mats = sorted(Path(args.matdir).glob("*.phy"))
         jobs = args.jobs or os.cpu_count() or 1
         if jobs > 1 and len(mats) > 1:
-            # build the native library once before forking: concurrent
-            # first-use builds in the workers would race on native/build/
+            # build once up front (build_native is lock-safe; this just
+            # saves every worker a no-op make invocation)
             from .native import build_native
 
             build_native()

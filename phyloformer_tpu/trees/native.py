@@ -29,18 +29,33 @@ class NativeUnavailable(RuntimeError):
 
 
 def build_native(force: bool = False) -> pathlib.Path:
-    """Compile the native library if needed; returns its path."""
-    if _LIB_PATH.exists() and not force:
-        return _LIB_PATH
+    """Compile the native library; returns its path.
+
+    Always invokes ``make`` (incremental: a no-op when sources are
+    unchanged, a rebuild when they changed — an exists-check here once let
+    stale binaries mask source edits), under an exclusive file lock so
+    concurrent first-use callers (server handler threads, fastme-dir
+    workers, multi-host pf-infer processes on a shared filesystem) cannot
+    race two compilers onto the same output files."""
+    del force  # kept for API compatibility; make is always invoked
+    build_dir = _NATIVE_DIR / "build"
     try:
-        subprocess.run(
-            ["make", "-C", str(_NATIVE_DIR)],
-            check=True,
-            capture_output=True,
-            text=True,
-            timeout=300,
-        )
-    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired) as err:
+        build_dir.mkdir(parents=True, exist_ok=True)
+        import fcntl
+
+        with open(build_dir / ".build.lock", "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired, OSError) as err:
+        if _LIB_PATH.exists():  # e.g. read-only install with a prebuilt lib
+            return _LIB_PATH
         detail = getattr(err, "stderr", "") or str(err)
         raise NativeUnavailable(f"could not build native toolkit: {detail}") from err
     return _LIB_PATH

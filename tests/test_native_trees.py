@@ -128,9 +128,10 @@ def test_native_cli_binaries(tmp_path, goldens_dir, testdata_dir):
     """The standalone pf-fastme / pf-phylocompare binaries work end-to-end."""
     import subprocess
 
-    build = Path("native/build")
-    if not (build / "pf-fastme").exists():
-        pytest.skip("native binaries not built")
+    # module-level build_native() already ran (make builds the CLIs too);
+    # resolve from the repo root, not the cwd
+    build = Path(native.__file__).resolve().parent.parent.parent / "native" / "build"
+    assert (build / "pf-fastme").exists()
     g = np.load(goldens_dir / "pf_preds_testdata.npz")
     stem = "0_20_tips"
     ids = [str(x) for x in g[stem + "__ids"]]
@@ -177,10 +178,9 @@ def test_fast_spr_matches_slow_reference(tmp_path):
     from phyloformer_tpu.sim.trees import TreeSimConfig, diameter_sampler, simulate_tree
     from phyloformer_tpu.trees.native import build_native, pauplin_length
 
-    build = Path("native/build")
-    if not (build / "pf-fastme").exists():
-        pytest.skip("native binaries not built")
-    build_native()
+    build_native()  # always re-runs make: a stale pf-fastme must not mask edits
+    build = Path(native.__file__).resolve().parent.parent.parent / "native" / "build"
+    assert (build / "pf-fastme").exists()
 
     rng = np.random.default_rng(7)
     tree = simulate_tree(rng, TreeSimConfig(ntips=60), diameter_sampler(None))
