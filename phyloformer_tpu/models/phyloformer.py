@@ -207,8 +207,21 @@ def forward_fused(
 ) -> jax.Array:
     """Inference forward using the fused Pallas axial-block kernels
     (:mod:`phyloformer_tpu.ops.pallas`). Same numerics as :func:`forward`
-    in deterministic mode; ~4 HBM passes per block instead of ~15."""
+    in deterministic mode; ~4 HBM passes per block instead of ~15.
+
+    The row kernel keeps the full site axis resident in VMEM, so the
+    minimum (pt=8) tile outgrows the TPU's scoped-VMEM limit for very long
+    alignments — measured boundary on this toolchain: L=640 compiles,
+    L=768 does not (16 MiB scope).  Beyond ``PF_PALLAS_MAX_SITES``
+    (default 640) this transparently falls back to the canonical XLA
+    forward instead of failing to compile."""
+    import os as _os
+
     from ..ops.pallas import fused_axial_block
+
+    max_sites = int(_os.environ.get("PF_PALLAS_MAX_SITES", "640"))
+    if codes.shape[2] > max_sites and not interpret:
+        return forward(params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask)
 
     b, n_seqs, seq_len = codes.shape
     if site_mask is None:
