@@ -341,6 +341,156 @@ int away(const Tree& t, int e, int node) {
   return t.edges[e].u == node ? 2 * e : 2 * e + 1;
 }
 
+// ---------------------------------------------------------------------------
+// Persistent memoized pair-delta cache (Desper & Gascuel 2002 machinery)
+// ---------------------------------------------------------------------------
+//
+// delta(sub(d1), sub(d2)) for *disjoint* directed subtrees, computed lazily
+// by the halving recursion delta(a,b) = 1/2(delta(kid0(a),b)+delta(kid1(a),b))
+// and cached in a fixed-stride table that SURVIVES topology changes: every
+// directed edge carries a version counter, each cached entry stores the two
+// versions it was computed under, and a mutation only bumps the versions of
+// the directions whose subtree actually changed (those containing a modified
+// vertex).  Shared by greedy BME insertion, BNNI and BSPR, this replaces the
+// full O(n^2) table recomputation the previous code paid per applied move —
+// per-move upkeep drops to O(n) invalidation + on-demand refills that only
+// walk the changed region (O(n·diam) amortized, the D&G bound).
+class DeltaCache {
+ public:
+  // One-time allocation for a tree that will grow to n_leaves leaves.
+  // Returns false (cache unusable) if the final table would exceed ~1 GiB.
+  bool alloc(int n_leaves, const DistMatrix& dm, const std::vector<int>& map) {
+    dm_ = &dm;
+    map_ = &map;
+    int ne_final = n_leaves <= 2 ? 1 : 2 * n_leaves - 3;
+    mcap_ = 2 * ne_final;
+    if (static_cast<size_t>(mcap_) * mcap_ > (size_t{1} << 26)) return false;
+    val_.assign(static_cast<size_t>(mcap_) * mcap_, 0.0);
+    stamp_.assign(static_cast<size_t>(mcap_) * mcap_, 0);  // 0 never matches
+    ver_.assign(mcap_, 1);
+    usable_ = true;
+    return true;
+  }
+  bool usable() const { return usable_; }
+
+  // Refresh the structural arrays after any topology change.  Cached values
+  // stay; validity is decided per-entry by the version stamps.  Marks the
+  // cache unusable on non-binary trees (multifurcation / degree-2 internal).
+  bool rebuild(const Tree& t) {
+    if (!usable_) return false;
+    int ne = static_cast<int>(t.edges.size());
+    m_ = 2 * ne;
+    if (m_ > mcap_) {
+      usable_ = false;
+      return false;
+    }
+    head_.assign(m_, -1);
+    kids_.assign(m_, {-1, -1});
+    sz_.assign(m_, 0);
+    for (int d = 0; d < m_; ++d) {
+      int e = d / 2;
+      head_[d] = d % 2 == 0 ? t.edges[e].v : t.edges[e].u;
+      if (head_[d] >= t.n_leaves) {
+        int k = 0;
+        for (int e2 : t.adj[head_[d]]) {
+          if (e2 == e) continue;
+          if (k == 2) {
+            usable_ = false;
+            return false;
+          }
+          kids_[d][k++] = away(t, e2, head_[d]);
+        }
+        if (k != 2) {
+          usable_ = false;
+          return false;
+        }
+      }
+    }
+    order_.clear();
+    order_.reserve(m_);
+    std::vector<char> done(m_, 0);
+    std::function<void(int)> visit = [&](int d) {
+      if (done[d]) return;
+      done[d] = 1;
+      if (kids_[d][0] >= 0) {
+        visit(kids_[d][0]);
+        visit(kids_[d][1]);
+      }
+      order_.push_back(d);
+    };
+    for (int d = 0; d < m_; ++d) visit(d);
+    for (int d : order_)
+      sz_[d] = kids_[d][0] < 0 ? 1 : sz_[kids_[d][0]] + sz_[kids_[d][1]];
+    return true;
+  }
+
+  // Bump the version of every direction whose subtree contains one of
+  // `verts` (postorder pass over the CURRENT tree; call after rebuild()).
+  void invalidate_containing(std::initializer_list<int> verts) {
+    std::vector<char> cont(m_, 0);
+    for (int d : order_) {
+      char c = 0;
+      for (int v2 : verts)
+        if (head_[d] == v2) c = 1;
+      if (kids_[d][0] >= 0)
+        c = c | cont[kids_[d][0]] | cont[kids_[d][1]];
+      cont[d] = c;
+      if (c) ++ver_[d];
+    }
+  }
+
+  // rebuild + drop every cached entry (used after slow-path mutations that
+  // bypass the incremental bookkeeping).
+  bool resync_all(const Tree& t) {
+    if (!rebuild(t)) return false;
+    for (int d = 0; d < m_; ++d) ++ver_[d];
+    return true;
+  }
+
+  // Precondition: sub(d1) and sub(d2) are disjoint.
+  double at(int d1, int d2) {
+    size_t idx = static_cast<size_t>(d1) * mcap_ + d2;
+    uint64_t want =
+        (static_cast<uint64_t>(ver_[d1]) << 32) | ver_[d2];
+    if (stamp_[idx] == want) return val_[idx];
+    int a = d1, b = d2;
+    if (sz_[a] < sz_[b]) std::swap(a, b);
+    double r = sz_[a] == 1
+                   ? (*dm_)((*map_)[head_[a]], (*map_)[head_[b]])
+                   : 0.5 * (at(kids_[a][0], b) + at(kids_[a][1], b));
+    stamp_[idx] = want;
+    val_[idx] = r;
+    size_t idx2 = static_cast<size_t>(d2) * mcap_ + d1;
+    stamp_[idx2] = (static_cast<uint64_t>(ver_[d2]) << 32) | ver_[d1];
+    val_[idx2] = r;
+    return r;
+  }
+
+  // Balanced average distance from dm row k_dm to every directed subtree,
+  // in O(edges) (postorder halving; the D&G per-insertion recursion).
+  void new_taxon_averages(int k_dm, std::vector<double>* down) const {
+    down->resize(m_);
+    for (int d : order_) {
+      (*down)[d] = kids_[d][0] < 0
+                       ? (*dm_)(k_dm, (*map_)[head_[d]])
+                       : 0.5 * ((*down)[kids_[d][0]] + (*down)[kids_[d][1]]);
+    }
+  }
+
+  int head(int d) const { return head_[d]; }
+
+ private:
+  const DistMatrix* dm_ = nullptr;
+  const std::vector<int>* map_ = nullptr;
+  int mcap_ = 0, m_ = 0;
+  bool usable_ = false;
+  std::vector<int> head_, sz_, order_;
+  std::vector<std::array<int, 2>> kids_;
+  std::vector<uint32_t> ver_;
+  std::vector<double> val_;
+  std::vector<uint64_t> stamp_;
+};
+
 }  // namespace
 
 double pauplin_length(const DistMatrix& dm, const Tree& t) {
@@ -482,8 +632,11 @@ std::vector<int> identity_map(const Tree& t, const DistMatrix& dm) {
   return map;
 }
 
-// Greedy balanced taxon addition (BME / Desper-Gascuel).
-Tree bme_greedy(const DistMatrix& dm) {
+// Greedy balanced taxon addition, reference version: full balanced tables
+// recomputed per insertion, O(n^3) total.  Kept as the fallback for trees
+// beyond the DeltaCache memory cap and as the PFTREE_SLOW_BME regression
+// reference for bme_greedy_fast below.
+Tree bme_greedy_slow(const DistMatrix& dm) {
   int n = dm.n;
   Tree t;
   t.n_leaves = n;
@@ -530,8 +683,95 @@ Tree bme_greedy(const DistMatrix& dm) {
   return t;
 }
 
+// Greedy balanced taxon addition in O(n^2 · diam) (Desper & Gascuel 2002):
+// per inserted taxon k, (a) the balanced averages Delta(k, sub(d)) for every
+// directed subtree come from one O(n) postorder halving pass, and (b) the
+// insertion cost of every edge follows from a single tree traversal using
+// the O(1) crossing recursion
+//   c(y) - c(x) = 1/4 [ Delta(k,Y) - Delta(k,X) + delta(X,Z) - delta(Y,Z) ]
+// at a node with edges x,y,z and subtrees-beyond X,Y,Z — only cost
+// DIFFERENCES are needed to pick the argmin edge, so no split-delta is ever
+// evaluated absolutely.  The sibling deltas come from the persistent
+// DeltaCache, which after each insertion only invalidates directions whose
+// subtree contains the new junction.
+Tree bme_greedy_fast(const DistMatrix& dm, DeltaCache* cache) {
+  int n = dm.n;
+  Tree t;
+  t.n_leaves = n;
+  t.leaf_names = dm.names;
+  t.adj.resize(n);
+  int c = t.new_node();
+  t.add_edge(c, 0, 0);
+  t.add_edge(c, 1, 0);
+  t.add_edge(c, 2, 0);
+  cache->rebuild(t);
+
+  std::vector<int> map = identity_map(t, dm);
+  std::vector<double> down;
+  std::vector<double> rel;
+  std::vector<int> stack;
+  for (int k = 3; k < n; ++k) {
+    cache->new_taxon_averages(map[k], &down);
+    int ne = static_cast<int>(t.edges.size());
+    rel.assign(ne, std::numeric_limits<double>::quiet_NaN());
+    rel[0] = 0.0;
+    stack.assign(1, 0);
+    while (!stack.empty()) {
+      int x = stack.back();
+      stack.pop_back();
+      for (int side = 0; side < 2; ++side) {
+        int vtx = side == 0 ? t.edges[x].u : t.edges[x].v;
+        if (vtx < t.n_leaves) continue;
+        int y = -1, z = -1;
+        for (int e2 : t.adj[vtx]) {
+          if (e2 == x) continue;
+          (y < 0 ? y : z) = e2;
+        }
+        int Xd = away(t, x, vtx);
+        for (int rep = 0; rep < 2; ++rep) {
+          int yy = rep == 0 ? y : z, zz = rep == 0 ? z : y;
+          if (!std::isnan(rel[yy])) continue;
+          int Yd = away(t, yy, vtx), Zd = away(t, zz, vtx);
+          rel[yy] = rel[x] + 0.25 * (down[Yd] - down[Xd] +
+                                     cache->at(Xd, Zd) - cache->at(Yd, Zd));
+          stack.push_back(yy);
+        }
+      }
+    }
+    // argmin; ties resolve to the lowest edge id like the slow version
+    double best = std::numeric_limits<double>::infinity();
+    int best_e = -1;
+    for (int e = 0; e < ne; ++e)
+      if (rel[e] < best) best = rel[e], best_e = e;
+    // split best_e, attach leaf k (identical splice to bme_greedy_slow)
+    int u = t.edges[best_e].u, v = t.edges[best_e].v;
+    double half = t.edges[best_e].len / 2;
+    int m = t.new_node();
+    t.edges[best_e] = {u, m, half};
+    auto& av = t.adj[v];
+    av.erase(std::find(av.begin(), av.end(), best_e));
+    t.adj[m].push_back(best_e);
+    t.add_edge(m, v, half);
+    t.add_edge(m, k, 0.0);
+    cache->rebuild(t);
+    cache->invalidate_containing({m});
+  }
+  return t;
+}
+
+Tree bme_greedy(const DistMatrix& dm, DeltaCache* cache) {
+  static const bool force_slow = std::getenv("PFTREE_SLOW_BME") != nullptr;
+  if (!force_slow && cache && cache->usable() && dm.n >= 3)
+    return bme_greedy_fast(dm, cache);
+  Tree t = bme_greedy_slow(dm);
+  if (cache && cache->usable()) cache->resync_all(t);
+  return t;
+}
+
 // One balanced-NNI pass: returns true if an improving move was applied.
-bool bnni_step(const DistMatrix& dm, Tree* t, double eps = 1e-12) {
+// Reference version recomputing full balanced tables (O(n^2) per call);
+// fallback for trees beyond the cache cap / PFTREE_SLOW_NNI regressions.
+bool bnni_step_slow(const DistMatrix& dm, Tree* t, double eps = 1e-12) {
   std::vector<int> map = identity_map(*t, dm);
   BalancedTables bt;
   bt.compute(*t, dm, map);
@@ -583,6 +823,68 @@ bool bnni_step(const DistMatrix& dm, Tree* t, double eps = 1e-12) {
   return true;
 }
 
+// Cache-backed balanced-NNI pass: same scan order, gain formulas and
+// tie-breaking as bnni_step_slow, but the six sibling deltas per internal
+// edge are memoized DeltaCache lookups instead of full-table recomputes,
+// and an applied swap only invalidates directions containing its endpoints.
+bool bnni_step_fast(const DistMatrix& dm, Tree* t, DeltaCache* C,
+                    double eps = 1e-12) {
+  (void)dm;
+  double best_gain = -eps;
+  int best_e = -1, best_swap = 0;
+  for (int e = 0; e < static_cast<int>(t->edges.size()); ++e) {
+    int u = t->edges[e].u, v = t->edges[e].v;
+    if (u < t->n_leaves || v < t->n_leaves) continue;  // internal edges only
+    std::vector<int> ue, ve;
+    for (int e2 : t->adj[u])
+      if (e2 != e) ue.push_back(away(*t, e2, u));
+    for (int e2 : t->adj[v])
+      if (e2 != e) ve.push_back(away(*t, e2, v));
+    if (ue.size() != 2 || ve.size() != 2) continue;
+    int A = ue[0], B = ue[1], Cc = ve[0], D = ve[1];
+    double dAB = C->at(A, B), dCD = C->at(Cc, D);
+    double dAC = C->at(A, Cc), dBD = C->at(B, D);
+    double dAD = C->at(A, D), dBC = C->at(B, Cc);
+    double dl1 = 0.25 * ((dAC + dBD) - (dAB + dCD));
+    double dl2 = 0.25 * ((dAD + dBC) - (dAB + dCD));
+    if (-dl1 > best_gain) best_gain = -dl1, best_e = e, best_swap = 1;
+    if (-dl2 > best_gain) best_gain = -dl2, best_e = e, best_swap = 2;
+  }
+  if (best_e < 0) return false;
+  int u = t->edges[best_e].u, v = t->edges[best_e].v;
+  std::vector<int> ue, ve;
+  for (int e2 : t->adj[u])
+    if (e2 != best_e) ue.push_back(e2);
+  for (int e2 : t->adj[v])
+    if (e2 != best_e) ve.push_back(e2);
+  int eb = ue[1];
+  int ec = best_swap == 1 ? ve[0] : ve[1];
+  auto repoint = [&](int edge, int from, int to) {
+    if (t->edges[edge].u == from)
+      t->edges[edge].u = to;
+    else
+      t->edges[edge].v = to;
+    auto& af = t->adj[from];
+    af.erase(std::find(af.begin(), af.end(), edge));
+    t->adj[to].push_back(edge);
+  };
+  repoint(eb, u, v);
+  repoint(ec, v, u);
+  C->rebuild(*t);
+  C->invalidate_containing({u, v});
+  return true;
+}
+
+bool bnni_step(const DistMatrix& dm, Tree* t, DeltaCache* cache,
+               double eps = 1e-12) {
+  static const bool force_slow = std::getenv("PFTREE_SLOW_NNI") != nullptr;
+  if (!force_slow && cache && cache->usable())
+    return bnni_step_fast(dm, t, cache, eps);
+  bool moved = bnni_step_slow(dm, t, eps);
+  if (moved && cache && cache->usable()) cache->resync_all(*t);
+  return moved;
+}
+
 // ---------------------------------------------------------------------------
 // Fast balanced-SPR (Desper & Gascuel 2002-style recursions)
 // ---------------------------------------------------------------------------
@@ -590,11 +892,11 @@ bool bnni_step(const DistMatrix& dm, Tree* t, double eps = 1e-12) {
 // The naive sweep (kept below as bspr_step_slow for non-binary trees and
 // very large n) copies the tree and rebuilds full balanced tables for every
 // prune candidate: O(n^3) per sweep with large constants.  This version
-// precomputes ONE table of balanced average distances between all pairs of
-// disjoint directed subtrees, delta(sub(d1), sub(d2)), in O(n^2) total via
-// the halving recursion delta(a,b) = 1/2(delta(kids(a),b)), then scores
-// every (prune, insertion-edge) pair with a DFS walk whose per-edge cost is
-// O(path depth) table lookups:
+// reads balanced average distances between disjoint directed subtrees,
+// delta(sub(d1), sub(d2)), from the persistent DeltaCache (lazily filled by
+// the halving recursion and version-invalidated only where an applied move
+// changed the tree), then scores every (prune, insertion-edge) pair with a
+// DFS walk whose per-edge cost is O(path depth) table lookups:
 //
 //   cost(f) = 1/2 [ delta(S, X_f) + delta(S, Y_f) - delta(X_f, Y_f) ]
 //
@@ -606,84 +908,6 @@ bool bnni_step(const DistMatrix& dm, Tree* t, double eps = 1e-12) {
 // and delta(behind, ahead) is an O(m) sum of lookups.  Per sweep:
 // O(n^2 + n^2 * avg depth) ~ O(n^2 log n) on balanced trees.
 
-// delta(sub(d1), sub(d2)) for *disjoint* directed subtrees, memoized.
-class PairDeltas {
- public:
-  // Returns false (table unusable) if the tree is not fully binary or the
-  // table would exceed the memory cap.
-  bool init(const Tree& t, const DistMatrix& dm, const std::vector<int>& map) {
-    t_ = &t;
-    dm_ = &dm;
-    map_ = &map;
-    m_ = 2 * static_cast<int>(t.edges.size());
-    if (static_cast<size_t>(m_) * m_ > (size_t{1} << 27))  // > 1 GiB of doubles
-      return false;
-    head_.resize(m_);
-    sz_.assign(m_, 0);
-    kids_.assign(m_, {-1, -1});
-    for (int d = 0; d < m_; ++d) {
-      int e = d / 2;
-      head_[d] = d % 2 == 0 ? t.edges[e].v : t.edges[e].u;
-      if (head_[d] >= t.n_leaves) {
-        int k = 0;
-        for (int e2 : t.adj[head_[d]]) {
-          if (e2 == e) continue;
-          if (k == 2) return false;  // multifurcation: fall back
-          kids_[d][k++] = away(t, e2, head_[d]);
-        }
-        if (k != 2) return false;  // degree-2 internal node: fall back
-      }
-    }
-    // subtree leaf counts, used to pick the decomposition side
-    std::vector<int> order;
-    order.reserve(m_);
-    std::vector<char> done(m_, 0);
-    std::function<void(int)> visit = [&](int d) {
-      if (done[d]) return;
-      done[d] = 1;
-      if (kids_[d][0] >= 0) {
-        visit(kids_[d][0]);
-        visit(kids_[d][1]);
-      }
-      order.push_back(d);
-    };
-    for (int d = 0; d < m_; ++d) visit(d);
-    for (int d : order)
-      sz_[d] = kids_[d][0] < 0 ? 1 : sz_[kids_[d][0]] + sz_[kids_[d][1]];
-    val_.assign(static_cast<size_t>(m_) * m_,
-                std::numeric_limits<double>::quiet_NaN());
-    return true;
-  }
-
-  // Precondition: sub(d1) and sub(d2) are disjoint.
-  double at(int d1, int d2) {
-    double v = val_[static_cast<size_t>(d1) * m_ + d2];
-    if (!std::isnan(v)) return v;
-    int a = d1, b = d2;
-    if (sz_[a] < sz_[b]) std::swap(a, b);
-    double r;
-    if (sz_[a] == 1) {
-      r = (*dm_)((*map_)[head_[a]], (*map_)[head_[b]]);
-    } else {
-      r = 0.5 * (at(kids_[a][0], b) + at(kids_[a][1], b));
-    }
-    val_[static_cast<size_t>(d1) * m_ + d2] = r;
-    val_[static_cast<size_t>(d2) * m_ + d1] = r;
-    return r;
-  }
-
-  int head(int d) const { return head_[d]; }
-
- private:
-  const Tree* t_ = nullptr;
-  const DistMatrix* dm_ = nullptr;
-  const std::vector<int>* map_ = nullptr;
-  int m_ = 0;
-  std::vector<int> head_, sz_;
-  std::vector<std::array<int, 2>> kids_;
-  std::vector<double> val_;
-};
-
 struct SprBest {
   double gain;
   int prune_dir = -1;
@@ -692,7 +916,7 @@ struct SprBest {
 
 // delta(behind-mixture, sub(d_g)).  sibs = [R0, Sib_m, ..., Sib_1] with
 // Sib_1 nearest (weight 1/2) and R0 sharing the farthest sibling's weight.
-double mix_delta(PairDeltas& T, const std::vector<int>& sibs, int d_g) {
+double mix_delta(DeltaCache& T, const std::vector<int>& sibs, int d_g) {
   double acc = 0.0, w = 0.5;
   for (int k = static_cast<int>(sibs.size()) - 1; k >= 1; --k) {
     acc += w * T.at(sibs[k], d_g);
@@ -703,7 +927,7 @@ double mix_delta(PairDeltas& T, const std::vector<int>& sibs, int d_g) {
 }
 
 // DFS over one insertion cone for pruned subtree sub(dS).
-void spr_walk(const Tree& t, PairDeltas& T, int dS, int d_g, double sA,
+void spr_walk(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
               std::vector<int>* sibs, double base_cost, SprBest* best) {
   double cost =
       0.5 * (sA + T.at(dS, d_g) - mix_delta(T, *sibs, d_g));
@@ -731,17 +955,20 @@ void spr_walk(const Tree& t, PairDeltas& T, int dS, int d_g, double sA,
 
 // One fast balanced-SPR sweep; returns true if an improving move was applied,
 // false if none exists.  Sets *ok=false (and returns false) when the tree
-// shape or size requires the slow fallback.
-bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok) {
+// shape or size requires the slow fallback.  Reads deltas from the shared
+// DeltaCache (which must be in sync with *t) and, after applying a move,
+// invalidates only the directions whose subtree touches the changed region.
+bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok,
+                    DeltaCache* cache) {
+  (void)dm;
   *ok = true;
   int ne = static_cast<int>(t->edges.size());
   if (ne < 4) return false;
-  std::vector<int> map = identity_map(*t, dm);
-  PairDeltas T;
-  if (!T.init(*t, dm, map)) {
+  if (!cache || !cache->usable()) {
     *ok = false;
     return false;
   }
+  DeltaCache& T = *cache;
 
   SprBest best{eps};
   std::vector<int> sibs;
@@ -790,6 +1017,7 @@ bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok) {
   for (int e2 : t->adj[tail])
     if (e2 != e) tail_edges.push_back(e2);
   int ea = tail_edges[0], eb2 = tail_edges[1];
+  int ta = t->other(ea, tail);
   int tb = t->other(eb2, tail);
   // merge ea to span ta-tb; free eb2; tail keeps only edge e
   double mlen = t->edges[ea].len + t->edges[eb2].len;
@@ -816,6 +1044,11 @@ bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok) {
   t->edges[eb2] = {tail, v, half};
   t->adj[tail].push_back(eb2);
   t->adj[v].push_back(eb2);
+  // Cached entries stay valid except where subtree contents or the rewired
+  // edge slots (ea, eb2, target) changed: every such direction's subtree
+  // contains one of the five touched vertices.
+  cache->rebuild(*t);
+  cache->invalidate_containing({tail, ta, tb, u, v});
   return true;
 }
 
@@ -967,15 +1200,18 @@ bool bspr_step_slow(const DistMatrix& dm, Tree* t, double eps = 1e-10) {
   return true;
 }
 
-bool bspr_step(const DistMatrix& dm, Tree* t, double eps = 1e-10) {
+bool bspr_step(const DistMatrix& dm, Tree* t, DeltaCache* cache,
+               double eps = 1e-10) {
   // test/benchmark escape hatch: force the O(n^3) reference sweep
   static const bool force_slow = std::getenv("PFTREE_SLOW_SPR") != nullptr;
   if (!force_slow) {
     bool ok = false;
-    bool moved = bspr_step_fast(dm, t, eps, &ok);
+    bool moved = bspr_step_fast(dm, t, eps, &ok, cache);
     if (ok) return moved;
   }
-  return bspr_step_slow(dm, t, eps);
+  bool moved = bspr_step_slow(dm, t, eps);
+  if (moved && cache && cache->usable()) cache->resync_all(*t);
+  return moved;
 }
 
 }  // namespace
@@ -1029,17 +1265,31 @@ void assign_balanced_lengths(const DistMatrix& dm, Tree* t) {
 
 Tree build_tree(const DistMatrix& dm, const std::string& method, bool nni,
                 bool spr) {
-  Tree t = method == "nj"      ? nj_tree(dm)
-           : method == "bionj" ? bionj_tree(dm)
-                               : bme_greedy(dm);
+  // One pair-delta cache shared by construction, NNI and SPR: greedy BME
+  // insertion finishes with a warm cache the topology search keeps reusing.
+  // Trees we construct always use leaf ids in dm order, so the map is the
+  // identity.  Beyond the memory cap the cache stays unusable and every
+  // stage falls back to its full-table path (previous behavior).
+  std::vector<int> map(dm.n);
+  for (int i = 0; i < dm.n; ++i) map[i] = i;
+  DeltaCache cache;
+  cache.alloc(dm.n, dm, map);
+
+  Tree t;
+  if (method == "nj" || method == "bionj") {
+    t = method == "nj" ? nj_tree(dm) : bionj_tree(dm);
+    if (cache.usable()) cache.rebuild(t);  // fresh cache: all entries cold
+  } else {
+    t = bme_greedy(dm, &cache);
+  }
   if (dm.n >= 4) {
     bool moved = true;
     int guard = 0;
     while (moved && guard < 200 * dm.n) {
       moved = false;
       if (nni)
-        while (bnni_step(dm, &t) && ++guard < 200 * dm.n) moved = true;
-      if (spr && bspr_step(dm, &t)) {
+        while (bnni_step(dm, &t, &cache) && ++guard < 200 * dm.n) moved = true;
+      if (spr && bspr_step(dm, &t, &cache)) {
         moved = true;
         ++guard;
       }
