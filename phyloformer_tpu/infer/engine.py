@@ -269,10 +269,13 @@ class ShardedInferenceEngine(InferenceEngine):
         return fn
 
     def _plan(self, alns):
-        """Batches must be divisible by the data-axis size — pad the batch
-        list by repeating the last alignment (masked out on return? no —
-        simply rounded up in chunks; extra outputs are discarded by the
-        caller mapping)."""
+        """Plan batches whose sizes are divisible by the mesh 'data' axis.
+
+        Each batch's index list is rounded up to a multiple of the data-axis
+        size by repeating its last alignment index.  The duplicates are real
+        (cheap) forward passes; ``predict`` writes results by index, so the
+        repeated entries simply overwrite the same output slot and nothing
+        needs masking on return."""
         batches = super()._plan(alns)
         ndata = self.mesh.shape["data"]
         fixed = []

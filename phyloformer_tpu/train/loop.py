@@ -248,12 +248,16 @@ def fit(
                 stop_reason = f"divergence stop: train_loss={train_loss}"
                 logger.log(step, train_loss=train_loss, event="divergence_stop")
                 break
-            # Loss-ceiling divergence stop is checked at validation boundaries
-            # (Lightning EarlyStopping semantics — not on the very first steps
-            # where an untrained model may legitimately exceed the ceiling).
+            # Loss-ceiling divergence stop, checked at every logging boundary.
+            # The reference's EarlyStopping(divergence_threshold) fires on the
+            # most recently logged train_loss at each check
+            # (`/root/reference/train_distributed.py:493-503`); checking every
+            # log_every steps rather than only at validation boundaries means a
+            # divergent run stops within ~log_every steps instead of burning up
+            # to check_val_every (10k) steps.
             if (
-                fcfg.check_val_every
-                and step % fcfg.check_val_every == 0
+                fcfg.log_every
+                and step % fcfg.log_every == 0
                 and train_loss > fcfg.hard_loss_ceiling
             ):
                 stop_reason = (

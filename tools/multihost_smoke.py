@@ -7,6 +7,9 @@ Modes:
 - ``train`` (default): every process feeds its local shard of a global
   batch; XLA reduces gradients across processes.  Success criterion: both
   processes finish one step and report the SAME finite loss.
+- ``train_pair``: mesh ('data'=1, 'pair'=8) — the activation pair axis is
+  sharded across BOTH processes, so the linear-attention pair-axis psum and
+  the gradient reductions cross the host boundary.
 - ``infer``: the multi-host inference path (`pf-infer --multihost`): each
   process takes its `host_local_slice` of an alignment list, runs the local
   engine, and reports which indices it handled + a prediction checksum.
@@ -74,19 +77,30 @@ if mode == "infer":
     jax.distributed.shutdown()
     sys.exit(0)
 
-cfg = PhyloformerConfig(n_blocks=1, n_heads=2, embed_dim=16)
-tcfg = TrainConfig(total_steps=10, warmup_steps=1)
-
-mesh = make_mesh(data=len(jax.devices()), pair=1)
 assert len(jax.devices()) == 4 * nproc, jax.devices()
+
+if mode == "train_pair":
+    # Pair-axis activation sharding ACROSS the process boundary: mesh
+    # ('data'=1, 'pair'=8) puts the quadratic pair axis over all devices of
+    # both processes, so the linear-attention psum (Σk, Σq, Σk·v over pairs)
+    # crosses hosts.  Two blocks so the cross-host reduction feeds a
+    # subsequent block's activations, not just the head.
+    cfg = PhyloformerConfig(n_blocks=2, n_heads=2, embed_dim=16)
+    tcfg = TrainConfig(total_steps=10, warmup_steps=1, shard_pairs=True)
+    mesh = make_mesh(data=1, pair=len(jax.devices()))
+    B, n, L = 2, 17, 32  # P = C(17,2) = 136 = 8 x 17 pair shards
+else:
+    cfg = PhyloformerConfig(n_blocks=1, n_heads=2, embed_dim=16)
+    tcfg = TrainConfig(total_steps=10, warmup_steps=1)
+    mesh = make_mesh(data=len(jax.devices()), pair=1)
+    B, n, L = 8, 6, 32
 
 state, tx = create_train_state(cfg, tcfg)
 step = make_train_step(cfg, tcfg, tx, mesh=mesh)
 
-# Global batch of 8; every process materializes the full array host-side and
-# contributes its local shard.
+# Global batch; every process materializes the full array host-side and
+# contributes its local shard (the whole array when data=1: replicated).
 rng = np.random.default_rng(0)
-B, n, L = 8, 6, 32
 global_batch = {
     "codes": rng.integers(0, 22, (B, n, L)).astype(np.int32),
     "dists": rng.uniform(0.1, 1.0, (B, n_pairs(n))).astype(np.float32),
@@ -94,9 +108,15 @@ global_batch = {
     "seq_mask": np.ones((B, n), bool),
 }
 sharding = batch_sharding(mesh)
+ndata = mesh.shape["data"]
+if ndata == 1:
+    local = global_batch  # batch axis replicated: every process feeds it all
+else:
+    per = B // nproc
+    local = {k: v[pid * per:(pid + 1) * per] for k, v in global_batch.items()}
 batch = {
-    k: jax.make_array_from_process_local_data(sharding, v[pid * (B // nproc):(pid + 1) * (B // nproc)])
-    for k, v in global_batch.items()
+    k: jax.make_array_from_process_local_data(sharding, v)
+    for k, v in local.items()
 }
 
 state, logs = step(state, batch, jax.random.PRNGKey(0))
