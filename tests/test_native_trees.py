@@ -64,6 +64,59 @@ def test_additive_recovery(method, n):
     assert cmp.kf == pytest.approx(0.0, abs=1e-9)
 
 
+def test_additive_recovery_large_n_batched_spr():
+    """Large-n path (n=400 >= the batched-SPR threshold, DeltaCache-backed
+    O(n^2) construction): additive input must still be recovered exactly."""
+    n = 400
+    rng = np.random.default_rng(400)
+    true = _random_tree(rng, n)
+    ids = sorted(true.leaf_names())
+    dm, _ = patristic_matrix(true, ids)
+    nwk = native.build_tree(dm, ids, method="bme", nni=True, spr=True)
+    cmp = native.compare_newick(true.to_newick(), nwk)
+    assert cmp.rf == 0
+    assert cmp.kf == pytest.approx(0.0, abs=1e-8)
+
+
+def test_batched_spr_quality_matches_one_move(tmp_path):
+    """Above the batch threshold the SPR search applies many verified moves
+    per sweep; the local optimum may differ from the one-move-per-sweep
+    order, but tree quality (balanced length) must stay equivalent."""
+    import os
+    import subprocess
+
+    from phyloformer_tpu.data.phylip import matrix_to_phylip as _to_phylip
+    from phyloformer_tpu.trees.native import pauplin_length
+
+    n = 160
+    rng = np.random.default_rng(11)
+    true = _random_tree(rng, n)
+    ids = sorted(true.leaf_names())
+    dm, _ = patristic_matrix(true, ids)
+    noise = rng.normal(0, 0.05, dm.shape)
+    noise = (noise + noise.T) / 2
+    np.fill_diagonal(noise, 0)
+    phy = _to_phylip(np.abs(dm + noise), ids)
+    mat = tmp_path / "m.phy"
+    mat.write_text(phy)
+
+    build = Path(native.__file__).resolve().parent.parent.parent / "native" / "build"
+    lengths = {}
+    for tag, flag in [("batched", "1"), ("one_move", "0")]:
+        out = tmp_path / f"{tag}.nwk"
+        env = dict(os.environ, PFTREE_SPR_BATCH=flag)
+        r = subprocess.run(
+            [str(build / "pf-fastme"), "-i", str(mat), "-o", str(out),
+             "--nni", "--spr"],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        lengths[tag] = pauplin_length(phy, out.read_text())
+    # same-quality local optima: within 0.5% (measured: batched is usually
+    # equal or slightly better)
+    assert lengths["batched"] <= lengths["one_move"] * 1.005
+
+
 def test_nni_spr_improve_pauplin_length():
     """BME + NNI + SPR must not be worse (balanced length) than NJ or plain
     BME on noisy matrices."""
