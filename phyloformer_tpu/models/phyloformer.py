@@ -209,17 +209,18 @@ def forward_fused(
     (:mod:`phyloformer_tpu.ops.pallas`). Same numerics as :func:`forward`
     in deterministic mode; ~4 HBM passes per block instead of ~15.
 
-    The row kernel keeps the full site axis resident in VMEM, so the
-    minimum (pt=8) tile outgrows the TPU's scoped-VMEM limit for very long
-    alignments — measured boundary on this toolchain: L=640 compiles,
-    L=768 does not (16 MiB scope).  Beyond ``PF_PALLAS_MAX_SITES``
-    (default 640) this transparently falls back to the canonical XLA
-    forward instead of failing to compile."""
+    The row kernel keeps the full site axis resident in VMEM; long
+    alignments shrink the pair tile instead of falling over (the tile is a
+    leading block dim, unconstrained by TPU tiling — round 1's L<=640 cap
+    came from a needless pt>=8 clamp).  Verified compiling and matching the
+    XLA path at L=2048 on the dev chip; beyond ``PF_PALLAS_MAX_SITES``
+    (default 2048) this still falls back to the canonical XLA forward
+    rather than risk a scoped-VMEM compile failure."""
     import os as _os
 
     from ..ops.pallas import fused_axial_block
 
-    max_sites = int(_os.environ.get("PF_PALLAS_MAX_SITES", "640"))
+    max_sites = int(_os.environ.get("PF_PALLAS_MAX_SITES", "2048"))
     if codes.shape[2] > max_sites and not interpret:
         return forward(params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask)
 

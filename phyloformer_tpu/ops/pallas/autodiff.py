@@ -1,10 +1,19 @@
-"""Differentiable wrapper for the fused Pallas axial block.
+"""Differentiable wrappers for the fused Pallas axial block.
 
-Forward runs the fused kernels (:mod:`.axial_block`); backward re-traces the
-canonical XLA implementation (`models/phyloformer.py:axial_block`) and
-differentiates through it — rematerialization semantics: no intermediate
-activations are stored, the backward recomputes them, and gradients are
-exactly the canonical gradients (the two forwards agree to fp32 tolerance).
+Two custom-VJP flavors:
+
+- :func:`fused_axial_block_ad` — **fully fused**: forward runs the fused
+  kernels and keeps the residuals they already produce (block input ``x``,
+  post-row-attention ``x1``, column sums ``stats``); backward runs the
+  analytic fused backward kernels (:mod:`.axial_block_bwd`).  No forward
+  recompute, ~7 HBM passes per block backward vs ~30+ for the XLA autodiff
+  of the canonical block.
+- :func:`fused_axial_block_ad_remat` — the round-1 fallback: forward fused,
+  backward re-traces the canonical XLA implementation
+  (`models/phyloformer.py:axial_block`) and differentiates through it
+  (rematerialization: one extra forward, exact canonical gradients).  Kept
+  for A/B comparison and as the safety escape hatch
+  (``PF_PALLAS_BWD=remat``).
 """
 
 from __future__ import annotations
@@ -14,8 +23,13 @@ from typing import Any, Dict
 
 import jax
 
-from .axial_block import fused_axial_block
+from .axial_block import fused_axial_block, fused_axial_block_res
+from .axial_block_bwd import fused_axial_block_bwd
 
+
+# ---------------------------------------------------------------------------
+# Fully fused forward + backward
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_axial_block_ad(
@@ -29,13 +43,48 @@ def fused_axial_block_ad(
 
 
 def _fwd(x, layer, site_mask, pair_mask, cfg, interpret, mxu_precision):
-    out = fused_axial_block_ad(
+    x3, x1, stats = fused_axial_block_res(
+        x, layer, site_mask, pair_mask, cfg.n_heads, cfg.ln_eps, interpret,
+        mxu_precision,
+    )
+    return x3, (x, x1, stats, layer, site_mask, pair_mask)
+
+
+def _bwd(cfg, interpret, mxu_precision, residuals, g):
+    x, x1, stats, layer, site_mask, pair_mask = residuals
+    gx, dlayer = fused_axial_block_bwd(
+        x, x1, stats, g, layer, site_mask, pair_mask,
+        cfg.n_heads, cfg.ln_eps, interpret, mxu_precision,
+    )
+    return gx, dlayer, None, None
+
+
+fused_axial_block_ad.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Remat fallback (round-1 behavior)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_axial_block_ad_remat(
+    x, layer: Dict[str, Any], site_mask, pair_mask,
+    cfg, interpret: bool = False, mxu_precision: str = "highest",
+):
+    return fused_axial_block(
+        x, layer, site_mask, pair_mask, cfg.n_heads, cfg.ln_eps, interpret,
+        mxu_precision,
+    )
+
+
+def _fwd_remat(x, layer, site_mask, pair_mask, cfg, interpret, mxu_precision):
+    out = fused_axial_block_ad_remat(
         x, layer, site_mask, pair_mask, cfg, interpret, mxu_precision
     )
     return out, (x, layer, site_mask, pair_mask)
 
 
-def _bwd(cfg, interpret, mxu_precision, residuals, g):
+def _bwd_remat(cfg, interpret, mxu_precision, residuals, g):
     from ...models.phyloformer import axial_block
 
     x, layer, site_mask, pair_mask = residuals
@@ -51,4 +100,4 @@ def _bwd(cfg, interpret, mxu_precision, residuals, g):
     return dx, dlayer, None, None
 
 
-fused_axial_block_ad.defvjp(_fwd, _bwd)
+fused_axial_block_ad_remat.defvjp(_fwd_remat, _bwd_remat)

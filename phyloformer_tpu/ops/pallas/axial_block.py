@@ -66,14 +66,21 @@ def _phi(x):
     return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
 
 
-def _expand_heads(t, hd: int, interpret: bool):
+def _expand_heads(t, hd: int, interpret: bool,
+                  prec=jax.lax.Precision.HIGHEST):
     """(..., H) -> (..., H*hd) by repeating each head value over its value
     block (head-major), so all subsequent elementwise work runs on lane-full
     d-wide tensors instead of 32x-padded H-wide ones.
 
     Implemented as a matmul with a constant 0/1 block-expansion matrix —
     cheap on the MXU and layout-friendly (pltpu.repeat provokes VMEM-hungry
-    layout casts in this toolchain)."""
+    layout casts in this toolchain).
+
+    ``prec`` should follow the kernel's matmul precision: the 0/1 matrix
+    side is exact in any precision, but DEFAULT (single-pass bf16 MXU)
+    rounds the *values* to bf16 — in fp32-parity mode that rounding was the
+    dominant term of the fused path's drift (on-chip fused-vs-XLA gradient
+    error 3.6e-2 -> 5.3e-5 after pinning HIGHEST there)."""
     if interpret:
         return jnp.repeat(t, hd, axis=-1)
     h = t.shape[-1]
@@ -81,8 +88,7 @@ def _expand_heads(t, hd: int, interpret: bool):
     head_of_lane = jax.lax.broadcasted_iota(jnp.int32, (h, d), 1) // hd
     head_row = jax.lax.broadcasted_iota(jnp.int32, (h, d), 0)
     expand = (head_of_lane == head_row).astype(t.dtype)  # (H, d)
-    flat = jnp.dot(t.reshape(-1, h), expand,
-                   precision=jax.lax.Precision.DEFAULT,  # 0/1 matrix: exact
+    flat = jnp.dot(t.reshape(-1, h), expand, precision=prec,
                    preferred_element_type=jnp.float32)
     return flat.reshape(t.shape[:-1] + (d,))
 
@@ -108,7 +114,7 @@ def _kernel_a(
     hd = d // n_heads
     smask = site_mask_ref[0].astype(x.dtype)  # (L, 1) — keep 2-D (Mosaic
     # cannot reduce offset-sliced 1-D vectors)
-    pmask = pair_mask_ref[0].astype(x.dtype)  # (Pt, 1)
+    pmask = pair_mask_ref[0].astype(x.dtype)  # (Pt, 1, 1)
 
     # ---- row sub-block: attention over the (resident) site axis ----
     # Heads are expanded to d-wide tensors immediately (head-major value
@@ -116,8 +122,8 @@ def _kernel_a(
     # head's value block turns every attention step into a lane-full
     # elementwise op — no (.., H=4) lane-padded traffic, no per-head loops.
     h = _ln(x, rn_s_ref[:], rn_b_ref[:], eps)
-    q = _expand_heads(_phi(mm(h, rwq_ref[:], rbq_ref[:])), hd, interpret)
-    k = _expand_heads(_phi(mm(h, rwk_ref[:], rbk_ref[:])), hd, interpret)
+    q = _expand_heads(_phi(mm(h, rwq_ref[:], rbq_ref[:])), hd, interpret, prec)
+    k = _expand_heads(_phi(mm(h, rwk_ref[:], rbk_ref[:])), hd, interpret, prec)
     q = q * smask[None, :, :]  # (Pt, L, d)
     k = k * smask[None, :, :]
     v = mm(h, rwv_ref[:], rbv_ref[:])  # (Pt, L, d)
@@ -138,10 +144,10 @@ def _kernel_a(
 
     # ---- column stats on x1: partial sums over this pair tile ----
     hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
-    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret)
-    kc = _expand_heads(_phi(mm(hc, cwk_ref[:], cbk_ref[:])), hd, interpret)
-    qc = qc * pmask[:, None, :]  # (Pt, L, d)
-    kc = kc * pmask[:, None, :]
+    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret, prec)
+    kc = _expand_heads(_phi(mm(hc, cwk_ref[:], cbk_ref[:])), hd, interpret, prec)
+    qc = qc * pmask  # (Pt, L, d) x (Pt, 1, 1)
+    kc = kc * pmask
     vc = mm(hc, cwv_ref[:], cbv_ref[:])  # (Pt, L, d)
 
     k_part = jnp.sum(kc, axis=0)  # (L, d)
@@ -175,7 +181,7 @@ def _kernel_b(
     stats = stats_ref[0]  # (L, 3d) — Σk, Σq, Σk·v in head-expanded layout
 
     hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
-    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret)
+    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret, prec)
 
     k_sum = stats[:, :d]  # (L, d)
     q_sum = stats[:, d : 2 * d]
@@ -199,11 +205,21 @@ def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 4 * 1024 * 1024) -> i
     """Pair-tile size: keep the live tile tensors under a VMEM budget.
 
     With head-expanded d-wide tensors throughout, ~7 live (row, L, d)
-    buffers (incl. double-buffered in/out blocks) bound the footprint."""
+    buffers (incl. double-buffered in/out blocks) bound the footprint.
+
+    The pair tile is a *leading* block dim — TPU tiling constraints bind
+    only the trailing (L, d) dims, and the pair mask is carried 4-D
+    ``(B, P, 1, 1)`` so no mask block puts Pt in a constrained position —
+    so the tile may shrink all the way to 1 row.  That is what lifts the
+    old L<=640 cap: at L=2048 a 2-row tile keeps the whole site axis
+    resident within the 16 MiB VMEM scope, and the compute shapes stay
+    MXU-friendly (rows = Pt*L stays in the thousands)."""
     per_row = l * d * 4 * 7
-    pt = max(8, budget_bytes // max(per_row, 1))
-    pt = min(pt, p, 256)
-    return max(8, (pt // 8) * 8)
+    pt = budget_bytes // max(per_row, 1)
+    pt = max(1, min(pt, p, 256))
+    if pt >= 8:
+        return (pt // 8) * 8
+    return 4 if pt >= 4 else (2 if pt >= 2 else 1)
 
 
 @functools.partial(
@@ -228,6 +244,36 @@ def fused_axial_block(
       site_mask: ``(B, L)`` bool.
       pair_mask: ``(B, P)`` bool.
     """
+    return _fused_block_impl(
+        x, layer, site_mask, pair_mask, n_heads, eps, interpret, mxu_precision
+    )[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "eps", "interpret", "mxu_precision")
+)
+def fused_axial_block_res(
+    x: jax.Array,
+    layer: Dict[str, Any],
+    site_mask: jax.Array,
+    pair_mask: jax.Array,
+    n_heads: int = 4,
+    eps: float = 1e-5,
+    interpret: bool = False,
+    mxu_precision: str = "highest",
+):
+    """Like :func:`fused_axial_block` but also returns the training
+    residuals ``(x3, x1, stats)`` — the post-row-attention activations and
+    the raw column sums — which the fused backward
+    (:mod:`.axial_block_bwd`) consumes without any forward recompute."""
+    return _fused_block_impl(
+        x, layer, site_mask, pair_mask, n_heads, eps, interpret, mxu_precision
+    )
+
+
+def _fused_block_impl(
+    x, layer, site_mask, pair_mask, n_heads, eps, interpret, mxu_precision
+):
     prec = (
         jax.lax.Precision.HIGHEST
         if mxu_precision.lower() in ("highest", "float32")
@@ -251,15 +297,16 @@ def fused_axial_block(
     tile_spec = pl.BlockSpec(
         (1, pt, l, d), lambda bi, pi: (bi, pi, 0, 0), memory_space=pltpu.VMEM
     )
-    # masks carry a trailing singleton so block shapes satisfy TPU tiling
-    # (last dim == full dim 1; second-to-last div-8 or full)
+    # masks carry trailing singletons so block shapes satisfy TPU tiling:
+    # the site mask's (l, 1) trailing dims are full; the pair mask is 4-D so
+    # Pt stays a leading (unconstrained) dim and may drop below 8.
     site_mask3 = site_mask[:, :, None].astype(jnp.float32)  # (B, L, 1)
-    pair_mask3 = pair_mask[:, :, None].astype(jnp.float32)  # (B, P_pad, 1)
+    pair_mask4 = pair_mask[:, :, None, None].astype(jnp.float32)  # (B,P,1,1)
     smask_spec = pl.BlockSpec(
         (1, l, 1), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
     )
     pmask_spec = pl.BlockSpec(
-        (1, pt, 1), lambda bi, pi: (bi, pi, 0), memory_space=pltpu.VMEM
+        (1, pt, 1, 1), lambda bi, pi: (bi, pi, 0, 0), memory_space=pltpu.VMEM
     )
     stats_spec = pl.BlockSpec(
         (1, l, 3 * d), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
@@ -287,7 +334,7 @@ def fused_axial_block(
             jax.ShapeDtypeStruct((b, l, 3 * d), jnp.float32),
         ),
         interpret=interpret,
-    )(x, site_mask3, pair_mask3, *a_params)
+    )(x, site_mask3, pair_mask4, *a_params)
 
     pair_count = jnp.sum(pair_mask.astype(jnp.float32), axis=1)[:, None]  # (B, 1)
     # full-array SMEM (no per-step blocking dodges rank/tiling constraints);
@@ -308,8 +355,9 @@ def fused_axial_block(
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((b, p_pad, l, d), x.dtype),
         interpret=interpret,
-    )(x1, stats, pair_mask3, pair_count, *b_params)
+    )(x1, stats, pair_mask4, pair_count, *b_params)
 
     if p_pad != p:
         x3 = x3[:, :p]
-    return x3
+        x1 = x1[:, :p]
+    return x3, x1, stats

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     train.add_argument("--seed", type=int, default=1337)
     train.add_argument("--remat", action="store_true",
                        help="rematerialize blocks (activation memory saver)")
+    train.add_argument("--use-pallas", choices=["auto", "on", "off"],
+                       default="auto",
+                       help="fused Pallas kernels for forward+backward "
+                            "(auto: on for TPU backends when dropout=0 — "
+                            "measured 258 vs 399 ms/step at batch 4, 50x256)")
 
     dist = p.add_argument_group("distribution")
     dist.add_argument("--mesh-data", type=int, default=None,
@@ -167,6 +172,16 @@ def main(argv=None) -> int:
     steps_per_epoch = -(-len(train_pairs) // args.batch_size)
     total_steps = args.max_steps or steps_per_epoch * args.nb_epochs
 
+    if args.use_pallas == "auto":
+        # default ON where the fused kernels exist (TPU) and dropout permits
+        use_pallas = (
+            jax.default_backend() not in ("cpu", "gpu")
+            and args.dropout == 0.0
+            and not args.remat
+        )
+    else:
+        use_pallas = args.use_pallas == "on"
+
     tcfg = TrainConfig(
         loss=args.loss,
         learning_rate=args.learning_rate,
@@ -175,6 +190,7 @@ def main(argv=None) -> int:
         remat=args.remat,
         seed=args.seed,
         shard_pairs=args.shard_pairs,
+        use_pallas=use_pallas,
     )
 
     nw = args.num_workers

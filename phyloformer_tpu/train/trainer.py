@@ -42,9 +42,10 @@ class TrainConfig:
     remat: bool = False
     seed: int = 1337  # reference seed (train_distributed.py:392)
     shard_pairs: bool = False  # shard the pair axis over the 'pair' mesh axis
-    # Use the fused Pallas kernels for the forward pass (custom VJP: backward
-    # re-traces the canonical XLA block, remat-style). Deterministic only
-    # (dropout=0, the published-checkpoint setting).
+    # Use the fused Pallas kernels for forward AND backward (analytic custom
+    # VJP — no forward recompute). Deterministic only (dropout=0, the
+    # published-checkpoint setting). PF_PALLAS_BWD=remat restores the round-1
+    # remat backward.
     use_pallas: bool = False
 
 
@@ -102,12 +103,35 @@ def _batch_loss(params, batch, cfg, tcfg, loss_fn, dropout_key, act_sharding):
 
 
 def _forward_pallas_ad(params, batch, cfg):
-    """Fused-kernel forward with the custom-VJP (remat) backward."""
-    from ..models.phyloformer import build_pairs, embed_alignment
-    from ..ops.pallas.autodiff import fused_axial_block_ad
+    """Fused-kernel forward with the fused-kernel backward (analytic custom
+    VJP, :mod:`phyloformer_tpu.ops.pallas.axial_block_bwd`).
+
+    ``PF_PALLAS_BWD=remat`` selects the round-1 remat backward (canonical
+    XLA re-trace) instead; beyond ``PF_PALLAS_MAX_SITES`` (the fused
+    kernels' VMEM-resident site-axis cap) this falls back to the canonical
+    XLA forward entirely, mirroring ``forward_fused``."""
+    import os
+
+    from ..models.phyloformer import build_pairs, embed_alignment, forward
+    from ..ops.pallas.autodiff import (
+        fused_axial_block_ad,
+        fused_axial_block_ad_remat,
+    )
 
     codes = batch["codes"]
     b, n_seqs, seq_len = codes.shape
+    interpret = jax.default_backend() != "tpu"  # compiled Pallas is TPU-only
+    max_sites = int(os.environ.get("PF_PALLAS_MAX_SITES", "640"))
+    if seq_len > max_sites and not interpret:
+        return forward(
+            params, codes, cfg,
+            site_mask=batch.get("site_mask"), seq_mask=batch.get("seq_mask"),
+        )
+    block_ad = (
+        fused_axial_block_ad_remat
+        if os.environ.get("PF_PALLAS_BWD", "fused") == "remat"
+        else fused_axial_block_ad
+    )
     site_mask = batch.get("site_mask")
     seq_mask = batch.get("seq_mask")
     if site_mask is None:
@@ -116,13 +140,10 @@ def _forward_pallas_ad(params, batch, cfg):
         seq_mask = jnp.ones((b, n_seqs), bool)
     pair_mask = pair_mask_from_seq_mask(seq_mask, n_seqs)
     mxu = "highest" if cfg.matmul_precision == "float32" else "default"
-    interpret = jax.default_backend() != "tpu"  # compiled Pallas is TPU-only
     with jax.default_matmul_precision(cfg.matmul_precision):
         x = build_pairs(embed_alignment(params, codes), n_seqs)
         for layer in params["layers"]:
-            x = fused_axial_block_ad(
-                x, layer, site_mask, pair_mask, cfg, interpret, mxu
-            )
+            x = block_ad(x, layer, site_mask, pair_mask, cfg, interpret, mxu)
         h = jax.nn.softplus(x @ params["head"]["w"] + params["head"]["b"])[..., 0]
         m = site_mask[:, None, :].astype(h.dtype)
         return jnp.sum(h * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)

@@ -87,11 +87,17 @@ def test_fused_forward_matches_reference_predictions(goldens_dir):
     assert err < 1e-3, f"max err {err}"
 
 
-def test_fused_block_custom_vjp_gradients():
+@pytest.mark.parametrize("which", ["fused", "remat"])
+def test_fused_block_custom_vjp_gradients(which):
     """Gradients through the fused block == gradients through the canonical
-    XLA block (remat-style backward)."""
-    from phyloformer_tpu.ops.pallas.autodiff import fused_axial_block_ad
+    XLA block — both the analytic fused backward kernels and the remat
+    fallback."""
+    from phyloformer_tpu.ops.pallas.autodiff import (
+        fused_axial_block_ad,
+        fused_axial_block_ad_remat,
+    )
 
+    block_ad = fused_axial_block_ad if which == "fused" else fused_axial_block_ad_remat
     layer = _layer(11)
     b, p, l = 1, 28, 40
     x = _rand_x(b, p, l, seed=9)
@@ -99,7 +105,7 @@ def test_fused_block_custom_vjp_gradients():
     pair_mask = jnp.ones((b, p), bool)
 
     def loss_fused(x, layer):
-        out = fused_axial_block_ad(x, layer, site_mask, pair_mask, CFG, True)
+        out = block_ad(x, layer, site_mask, pair_mask, CFG, True)
         return jnp.sum(out**2)
 
     def loss_ref(x, layer):
@@ -113,6 +119,43 @@ def test_fused_block_custom_vjp_gradients():
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=2e-3, rtol=1e-3)
     for a, b2 in zip(jax.tree_util.tree_leaves(gl1), jax.tree_util.tree_leaves(gl2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-3, rtol=2e-3)
+
+
+def test_fused_backward_kernels_with_padding():
+    """The analytic fused backward must replicate the canonical chain rule
+    with padded sites AND padded pairs (masked-loss cotangents, zero-sum
+    guards), parameter gradients included."""
+    from phyloformer_tpu.ops.pallas.autodiff import fused_axial_block_ad
+
+    layer = _layer(7)
+    b, p, l = 2, 30, 48
+    real_p, real_l = 21, 37
+    x = _rand_x(b, p, l, seed=13)
+    site_mask = jnp.asarray(np.arange(l)[None, :] < real_l).repeat(b, 0)
+    pair_mask = jnp.asarray(np.arange(p)[None, :] < real_p).repeat(b, 0)
+    rng = np.random.default_rng(17)
+    g = jnp.asarray(rng.normal(size=(b, p, l, 64)).astype(np.float32))
+    # a masked loss yields zero cotangent at padded positions
+    g = g * site_mask[:, None, :, None] * pair_mask[:, :, None, None]
+
+    def loss_fused(x, layer):
+        out = fused_axial_block_ad(x, layer, site_mask, pair_mask, CFG, True)
+        return jnp.sum(out * g)
+
+    def loss_ref(x, layer):
+        with jax.default_matmul_precision("float32"):
+            return jnp.sum(axial_block(x, layer, CFG, site_mask, pair_mask) * g)
+
+    with jax.default_matmul_precision("float32"):
+        v1, (gx1, gl1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x, layer)
+        v2, (gx2, gl2) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, layer)
+    assert float(v1) == pytest.approx(float(v2), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4, rtol=1e-4)
+    for a, b2 in zip(jax.tree_util.tree_leaves(gl1), jax.tree_util.tree_leaves(gl2)):
+        scale = max(np.abs(np.asarray(b2)).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b2) / scale, atol=2e-5
+        )
 
 
 def test_fused_block_other_architecture():
