@@ -63,6 +63,14 @@ def main(argv=None) -> int:
     pf.add_argument("--metrics", nargs="*",
                     default=["norm_rf", "kf_score", "weighted_rf"])
 
+    pm = sub.add_parser(
+        "manifest",
+        help="render the reference's FULL 43-figure roster from a data dir "
+             "holding topos_*/dists_*/execution_*/likelihoods_*/brlens_* CSVs",
+    )
+    pm.add_argument("data_dir")
+    pm.add_argument("-o", "--outdir", required=True)
+
     pt = sub.add_parser("throughput", help="synthetic-throughput benchmark")
     pt.add_argument("weights")
     pt.add_argument("--tips", type=int, default=60)
@@ -166,6 +174,18 @@ def main(argv=None) -> int:
             F.finetuned_panels(ds, out / "finetuned_panels.pdf", tuple(args.metrics))
             made.append("finetuned_panels.pdf")
         print(json.dumps({"outdir": str(out), "figures": made}))
+        return 0
+
+    if args.cmd == "manifest":
+        from .manifest import render_all
+
+        rendered = render_all(args.data_dir, args.outdir)
+        print(json.dumps({
+            "outdir": args.outdir,
+            "rendered": sorted(k for k, v in rendered.items() if v),
+            "skipped_missing_inputs": sorted(
+                k for k, v in rendered.items() if v is None),
+        }, indent=2))
         return 0
 
     if args.cmd == "throughput":

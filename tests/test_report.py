@@ -135,3 +135,95 @@ def test_figure_families_and_cli(tmp_path):
         "brlens_all_scatter.pdf", "finetuned_panels.pdf",
     ]:
         assert (out / name).exists() and (out / name).stat().st_size > 0, name
+
+
+def test_reference_figure_manifest_renders_all(tmp_path):
+    """Every figure file the reference's make_plots.py emits (43 names,
+    `/root/reference/make_plots.py:1454-2023`) must render from our CSV
+    schemas via the manifest."""
+    import csv as _csv
+
+    import numpy as np
+
+    from phyloformer_tpu.bench.manifest import REFERENCE_FIGURES, render_all
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    markers = ["PF+FastME", "PF_Base+FastME", "FastTree", "IQTree_LG+GC"]
+    ft = {"gaps": "PF_Indel+FastME", "cherry": "PF_Cherry+FastME",
+          "pastek": "PF_SelReg+FastME"}
+    for ds in ("lggc", "cherry", "pastek", "gaps"):
+        ms = markers + ([ft[ds]] if ds in ft else [])
+        with open(data / f"topos_{ds}.csv", "w", newline="") as fh:
+            w = _csv.DictWriter(fh, fieldnames=[
+                "marker", "id", "norm_rf", "kf_score", "weighted_rf"])
+            w.writeheader()
+            for marker in ms:
+                for rep in range(3):
+                    for tips in (10, 50):
+                        for length in (250, 500, 1000):
+                            w.writerow({
+                                "marker": marker,
+                                "id": f"{rep}_{tips}_tips_{length}",
+                                "norm_rf": rng.random(),
+                                "kf_score": rng.random(),
+                                "weighted_rf": rng.random() * 3,
+                            })
+        with open(data / f"dists_{ds}.csv", "w", newline="") as fh:
+            w = _csv.DictWriter(fh, fieldnames=[
+                "marker", "id", "ref_dist", "cmp_dist"])
+            w.writeheader()
+            for marker in ms:
+                for rep in range(3):
+                    for tips in (10, 50):
+                        for length in (250, 500, 1000):
+                            for _ in range(10):
+                                r = rng.lognormal(-1, 1)
+                                w.writerow({
+                                    "marker": marker,
+                                    "id": f"{rep}_{tips}_tips_{length}",
+                                    "ref_dist": r,
+                                    "cmp_dist": abs(r + rng.normal(0, 0.1)),
+                                })
+        with open(data / f"execution_{ds}.csv", "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["timer", "marker", "id", "elapsed_sec", "MaxRSS_kb"])
+            for marker in ms:
+                for rep in range(3):
+                    for tips in (10, 50):
+                        for stage in ("inference", "fastme"):
+                            w.writerow([stage, marker,
+                                        f"{rep}_{tips}_tips_500",
+                                        rng.random() + 0.01,
+                                        int(rng.integers(1e4, 1e6))])
+    with open(data / "likelihoods_lggc.csv", "w", newline="") as fh:
+        w = _csv.DictWriter(fh, fieldnames=["marker", "id", "ratio"])
+        w.writeheader()
+        for marker in markers:
+            for rep in range(3):
+                for tips in (10, 50):
+                    for length in (250, 500, 1000):
+                        w.writerow({"marker": marker,
+                                    "id": f"{rep}_{tips}_tips_{length}",
+                                    "ratio": 1 + rng.normal(0, 0.02)})
+    with open(data / "brlens_lggc.csv", "w", newline="") as fh:
+        w = _csv.DictWriter(fh, fieldnames=["marker", "id", "ref_len", "cmp_len"])
+        w.writeheader()
+        for _ in range(60):
+            r = rng.random()
+            kind = rng.integers(0, 3)
+            w.writerow({
+                "marker": "PF+FastME", "id": "0_50_tips_500",
+                "ref_len": "" if kind == 2 else r,
+                "cmp_len": "" if kind == 1 else r + rng.normal(0, 0.02),
+            })
+    (data / "model_load_times.txt").write_text("1.5\n2.5\n")
+
+    out = tmp_path / "figs"
+    rendered = render_all(data, out)
+    missing = [name for name in REFERENCE_FIGURES
+               if rendered.get(name) is None
+               or not (out / name).exists()
+               or (out / name).stat().st_size == 0]
+    assert not missing, f"unrendered reference figures: {missing}"
