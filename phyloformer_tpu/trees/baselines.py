@@ -156,31 +156,96 @@ def ml_nni_refine(
     max_sweeps: int = 3,
     optimize_lengths: bool = True,
 ) -> Tuple[str, float]:
-    """Likelihood-scored NNI hill climbing (+ branch-length optimization).
+    """Likelihood-scored NNI hill climbing (compat wrapper over
+    :func:`ml_refine` with SPR and CAT off)."""
+    return ml_refine(
+        aln, start_nwk, model=model, gamma_alpha=gamma_alpha,
+        max_sweeps=max_sweeps, optimize_lengths=optimize_lengths,
+        spr=False, cat_categories=0,
+    )
 
-    Uses the native toolkit for the NNI move enumeration via re-parsing; the
-    scoring is our Felsenstein engine.  Returns (newick, log_likelihood).
+
+def ml_refine(
+    aln: Alignment,
+    start_nwk: str,
+    model: str = "LG",
+    gamma_alpha: Optional[float] = None,
+    max_sweeps: int = 3,
+    optimize_lengths: bool = True,
+    spr: bool = True,
+    spr_radius: int = 3,
+    cat_categories: int = 0,
+) -> Tuple[str, float]:
+    """FastTree-class approximate-ML refinement: likelihood-scored NNI +
+    radius-limited SPR hill climbing, optionally under CAT-style per-site
+    rate categories (FastTree 2.1's two ingredients beyond plain NNI —
+    the reference benchmarks against FastTree 2.1.11,
+    `/root/reference/README.md:54`).
+
+    - ``spr``: after each NNI pass, try pruning every subtree and
+      regrafting within ``spr_radius`` edges of its original position,
+      scoring each candidate's likelihood at current branch lengths.
+    - ``cat_categories > 0``: estimate per-site rate categories on the
+      current tree each sweep (:func:`..likelihood.estimate_site_categories`)
+      and score all candidates under them (mutually exclusive with
+      ``gamma_alpha``).
+
+    Returns (newick, log_likelihood).
     """
-    from .likelihood import log_likelihood
+    from .likelihood import estimate_site_categories, log_likelihood
 
     m = get_model(model)
     best_tree = parse_newick(start_nwk)
+
+    site_cats = None
+
+    def score(tree):
+        return log_likelihood(aln, tree, m, gamma_alpha,
+                              site_categories=site_cats)
+
     if optimize_lengths:
         best_ll = optimize_branch_lengths(aln, best_tree, m, gamma_alpha, rounds=1)
-    else:
-        best_ll = log_likelihood(aln, best_tree, m, gamma_alpha)
+    if cat_categories:
+        site_cats = estimate_site_categories(aln, best_tree, m,
+                                             n_cats=cat_categories)
+    best_ll = score(best_tree)
+
+    import itertools
+
+    def neighbors(tree):
+        # NNI first so the SPR-enabled search follows the identical NNI
+        # trajectory before reaching for long-range moves (guarantees
+        # final ll >= the NNI-only run's)
+        its = [_nni_neighbors(tree)]
+        if spr:
+            its.append(_spr_neighbors(tree, spr_radius))
+        return itertools.chain(*its)
 
     for _ in range(max_sweeps):
         improved = False
-        for variant in _nni_neighbors(best_tree):
-            ll = log_likelihood(aln, variant, m, gamma_alpha)
-            if ll > best_ll + 1e-9:
-                best_tree, best_ll = variant, ll
-                improved = True
+        # first-improvement hill climb, re-enumerating from the CURRENT
+        # tree after every accepted move (a stale generator walks
+        # neighbors of an outdated topology)
+        for _move in range(50 * max(len(aln.ids), 4)):
+            found = None
+            for variant in neighbors(best_tree):
+                ll = score(variant)
+                if ll > best_ll + 1e-9:
+                    found = (variant, ll)
+                    break
+            if found is None:
+                break
+            best_tree, best_ll = found
+            improved = True
+        if cat_categories and improved:
+            site_cats = estimate_site_categories(aln, best_tree, m,
+                                                 n_cats=cat_categories)
+            best_ll = score(best_tree)
         if not improved:
             break
     if optimize_lengths:
-        best_ll = optimize_branch_lengths(aln, best_tree, m, gamma_alpha, rounds=1)
+        optimize_branch_lengths(aln, best_tree, m, gamma_alpha, rounds=1)
+        best_ll = score(best_tree)
     return best_tree.to_newick(), best_ll
 
 
@@ -212,6 +277,84 @@ def _nni_neighbors(root: Node):
             cnode.children[child_i] = csib
             cchild.parent, csib.parent = cparent, cnode
             yield clone_root
+
+
+def _spr_neighbors(root: Node, radius: int = 3):
+    """Yield copies of the tree with one subtree pruned and regrafted onto
+    an edge within ``radius`` edges of its original attachment (FastTree's
+    distance-limited SPR neighborhood)."""
+    import copy
+
+    nodes = list(root.traverse_preorder())
+    for idx, node in enumerate(nodes):
+        parent = node.parent
+        if parent is None:
+            continue
+        in_s = {id(x) for x in node.traverse_preorder()}
+        # BFS over the tree graph from the prune point, skipping S's interior
+        dist = {id(parent): 0}
+        frontier = [parent]
+        target_idxs = []
+        while frontier:
+            nxt = []
+            for u in frontier:
+                adj = list(u.children)
+                if u.parent is not None:
+                    adj.append(u.parent)
+                for v in adj:
+                    if id(v) in in_s or id(v) in dist:
+                        continue
+                    dist[id(v)] = dist[id(u)] + 1
+                    if dist[id(v)] <= radius:
+                        nxt.append(v)
+                        # regrafting onto a sibling's edge after the prune
+                        # splice recreates the original topology — skip
+                        if v.parent is not None and v.parent is not parent:
+                            target_idxs.append(nodes.index(v))
+                        elif v.parent is parent and len(parent.children) > 2:
+                            target_idxs.append(nodes.index(v))
+            frontier = nxt
+        for tgt_idx in target_idxs:
+            clone = copy.deepcopy(root)
+            cn = list(clone.traverse_preorder())
+            new_root = _apply_spr(clone, cn[idx], cn[tgt_idx])
+            if new_root is not None:
+                yield new_root
+
+
+def _apply_spr(root: Node, s: Node, tgt: Node) -> Optional[Node]:
+    """Prune subtree ``s``, regraft onto the edge above ``tgt``.  Returns
+    the (possibly re-rooted) tree, or None when the move is degenerate."""
+    p = s.parent
+    if p is None or tgt is s or tgt.parent is None:
+        return None
+    p.children.remove(s)
+    s.parent = None
+    if len(p.children) == 1:
+        c = p.children[0]
+        if p.parent is not None:  # splice the degree-2 node away
+            if c.length is not None or p.length is not None:
+                c.length = (c.length or 0.0) + (p.length or 0.0)
+            p.parent.children[p.parent.children.index(p)] = c
+            c.parent = p.parent
+        else:  # p was the root: re-root at the surviving child
+            c.parent = None
+            c.length = None
+            root = c
+        if tgt is p:  # the target edge vanished with the splice
+            return None
+    if tgt.parent is None:  # target became the root (re-root case)
+        return None
+    # split the target edge, attach s
+    half = (tgt.length or 0.0) / 2
+    mid = Node("", half)
+    tp = tgt.parent
+    tp.children[tp.children.index(tgt)] = mid
+    mid.parent = tp
+    tgt.length = half
+    mid.add_child(tgt)
+    mid.add_child(s)
+    return root
 
 
 def fasttree_adapter(

@@ -43,13 +43,23 @@ def main(argv=None) -> int:
     p_fd.add_argument("-j", "--jobs", type=int, default=None,
                       help="parallel workers (default: CPU count)")
 
-    p_ml = sub.add_parser("mlrefine", help="likelihood-scored NNI refinement of a tree")
+    p_ml = sub.add_parser(
+        "mlrefine",
+        help="approximate-ML refinement: likelihood-scored NNI + SPR "
+             "(+ optional CAT rate categories) — the FastTree-class baseline",
+    )
     p_ml.add_argument("alignment")
     p_ml.add_argument("tree")
     p_ml.add_argument("-o", "--output", default=None)
     p_ml.add_argument("--model", default="LG")
     p_ml.add_argument("--gamma-alpha", type=float, default=None)
     p_ml.add_argument("--max-sweeps", type=int, default=3)
+    p_ml.add_argument("--no-spr", action="store_true",
+                      help="NNI only (round-1 behavior)")
+    p_ml.add_argument("--spr-radius", type=int, default=3)
+    p_ml.add_argument("--cat", type=int, default=0, metavar="N",
+                      help="CAT-style per-site rate categories (e.g. 16); "
+                           "0 = homogeneous/gamma")
 
     p_ll = sub.add_parser("likelihood", help="alignment log-likelihood given a tree")
     p_ll.add_argument("alignment")
@@ -113,12 +123,14 @@ def main(argv=None) -> int:
         import json
 
         from ..data.fasta import read_fasta
-        from .baselines import ml_nni_refine
+        from .baselines import ml_refine
 
         aln = read_fasta(args.alignment, strict=False)
-        nwk, ll = ml_nni_refine(
+        nwk, ll = ml_refine(
             aln, Path(args.tree).read_text(), model=args.model,
             gamma_alpha=args.gamma_alpha, max_sweeps=args.max_sweeps,
+            spr=not args.no_spr, spr_radius=args.spr_radius,
+            cat_categories=args.cat,
         )
         if args.output:
             Path(args.output).write_text(nwk + "\n")

@@ -47,24 +47,20 @@ def _postorder_arrays(root: Node, leaf_index: dict) -> Tuple[List, List]:
     return schedule, id(root)
 
 
-def log_likelihood(
+def _site_category_logliks(
     aln: Alignment,
     tree: Node,
-    model: Optional[SubstitutionModel] = None,
-    gamma_alpha: Optional[float] = None,
-    gamma_categories: int = 4,
-) -> float:
-    """Total alignment log-likelihood under ``model`` (+ discrete gamma)."""
-    model = model or get_model("LG")
+    model: SubstitutionModel,
+    rates: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Felsenstein pruning over all rate categories at once.
+
+    Returns ``(site_lik (L, C), log_scale (L,))``: per-site per-category
+    likelihoods (to be mixed, selected, or argmax'd by the caller) and the
+    shared per-site log rescaling term."""
     lam, left, right = model.eigensystem()
     pi = model.freqs
     n_states = len(pi)
-
-    rates = (
-        discrete_gamma_rates(gamma_alpha, gamma_categories)
-        if gamma_alpha is not None
-        else np.ones(1)
-    )
     n_cats = len(rates)
 
     leaf_index = {name: i for i, name in enumerate(aln.ids)}
@@ -108,8 +104,67 @@ def log_likelihood(
         partials[node_key] = acc
 
     root_p = partials[root_key]  # (L, C, S)
-    site_lik = np.einsum("lcs,s->lc", root_p, pi).mean(axis=1)  # gamma mixture mean
-    return float(np.sum(np.log(np.maximum(site_lik, 1e-300)) + log_scale))
+    site_lik = np.einsum("lcs,s->lc", root_p, pi)
+    return site_lik, log_scale
+
+
+def log_likelihood(
+    aln: Alignment,
+    tree: Node,
+    model: Optional[SubstitutionModel] = None,
+    gamma_alpha: Optional[float] = None,
+    gamma_categories: int = 4,
+    site_categories: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> float:
+    """Total alignment log-likelihood under ``model``.
+
+    Rate heterogeneity, one of:
+    - ``gamma_alpha``: discrete-gamma mixture (mean over categories);
+    - ``site_categories = (rates (C,), cat_of_site (L,) int)``: CAT-style
+      per-site rate assignment (FastTree 2's -cat semantics): each site is
+      scored at exactly its assigned category's rate.
+    """
+    model = model or get_model("LG")
+    if site_categories is not None:
+        rates, cat_of_site = site_categories
+        site_lik, log_scale = _site_category_logliks(
+            aln, tree, model, np.asarray(rates, float))
+        chosen = site_lik[np.arange(aln.seq_len), np.asarray(cat_of_site, int)]
+        return float(np.sum(np.log(np.maximum(chosen, 1e-300)) + log_scale))
+    rates = (
+        discrete_gamma_rates(gamma_alpha, gamma_categories)
+        if gamma_alpha is not None
+        else np.ones(1)
+    )
+    site_lik, log_scale = _site_category_logliks(aln, tree, model, rates)
+    mixed = site_lik.mean(axis=1)  # gamma mixture mean
+    return float(np.sum(np.log(np.maximum(mixed, 1e-300)) + log_scale))
+
+
+def estimate_site_categories(
+    aln: Alignment,
+    tree: Node,
+    model: Optional[SubstitutionModel] = None,
+    n_cats: int = 16,
+    rate_range: Tuple[float, float] = (1.0 / 16.0, 16.0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CAT-style per-site rate categories (FastTree 2's approximation of
+    rate heterogeneity): score every site under a geometric grid of rates on
+    the given tree, assign each site its maximum-likelihood category, then
+    renormalize the grid so the mean assigned rate is 1 (keeps branch
+    lengths on the expected-substitutions scale).
+
+    Returns ``(rates (C,), cat_of_site (L,))`` for
+    :func:`log_likelihood`'s ``site_categories``.
+    """
+    model = model or get_model("LG")
+    rates = np.geomspace(rate_range[0], rate_range[1], n_cats)
+    site_lik, _ = _site_category_logliks(aln, tree, model, rates)
+    cat_of_site = np.argmax(site_lik, axis=1)
+    mean_rate = float(np.mean(rates[cat_of_site]))
+    if mean_rate > 0:
+        rates = rates / mean_rate
+    return rates, cat_of_site
 
 
 def log_likelihood_ratio(

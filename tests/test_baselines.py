@@ -89,3 +89,69 @@ def test_fasttree_adapter_if_available(sim_case):
         pytest.skip(f"FastTree unavailable: {err}")
     tree = parse_newick(nwk)
     assert sorted(tree.leaf_names()) == sorted(aln.ids)
+
+
+def test_spr_neighbors_valid_and_reach_true_topology(sim_case):
+    """SPR neighborhood: every candidate keeps the leaf set; a 1-SPR
+    perturbation of the true tree has the true topology in its
+    neighborhood (radius 3)."""
+    from phyloformer_tpu.trees.baselines import _spr_neighbors
+
+    true, _ = sim_case
+    ids = sorted(true.leaf_names())
+    # perturb: move leaf A next to E (an SPR move NNI needs >1 sweep for)
+    perturbed = parse_newick(
+        "(B:0.2,(C:0.25,D:0.15):0.12,((E:0.2,A:0.15):0.05,F:0.1):0.08);"
+    )
+    found_true = False
+    count = 0
+    for cand in _spr_neighbors(perturbed, radius=4):
+        count += 1
+        assert sorted(cand.leaf_names()) == ids
+        cmp = native.compare_newick(true.to_newick(), cand.to_newick())
+        if cmp.rf == 0:
+            found_true = True
+    assert count > 10
+    assert found_true, "true topology not in the SPR neighborhood"
+
+
+def test_ml_refine_spr_recovers_distant_misplacement(sim_case):
+    """ml_refine with SPR must beat NNI-only from a start tree whose
+    misplacement needs a long-range move."""
+    from phyloformer_tpu.trees.baselines import ml_refine
+
+    true, aln = sim_case
+    start = "(B:0.2,(C:0.25,D:0.15):0.12,((E:0.2,A:0.15):0.05,F:0.1):0.08);"
+    nwk_spr, ll_spr = ml_refine(aln, start, max_sweeps=2, spr=True,
+                                optimize_lengths=False)
+    _, ll_nni = ml_refine(aln, start, max_sweeps=2, spr=False,
+                          optimize_lengths=False)
+    assert ll_spr >= ll_nni - 1e-6
+    cmp = native.compare_newick(true.to_newick(), nwk_spr)
+    assert cmp.rf == 0, "SPR refinement failed to recover the true topology"
+
+
+def test_cat_site_categories():
+    """CAT rate categories: sites simulated under strong rate heterogeneity
+    get spread over categories, and the CAT likelihood beats the
+    homogeneous one on the true tree."""
+    from phyloformer_tpu.trees.likelihood import (
+        estimate_site_categories,
+        log_likelihood,
+    )
+
+    rng = np.random.default_rng(3)
+    true = parse_newick(
+        "((A:0.15,B:0.2):0.1,(C:0.25,D:0.15):0.12,(E:0.2,F:0.1):0.08);"
+    )
+    aln = evolve_alignment(
+        true, MsaSimConfig(substitution="LG", length=600, gamma="GC",
+                           alpha=0.4), rng
+    )
+    rates, cats = estimate_site_categories(aln, true, n_cats=12)
+    assert cats.shape == (aln.seq_len,)
+    assert len(np.unique(cats)) >= 3  # heterogeneity detected
+    assert abs(float(np.mean(rates[cats])) - 1.0) < 1e-6  # normalized
+    ll_cat = log_likelihood(aln, true, site_categories=(rates, cats))
+    ll_flat = log_likelihood(aln, true)
+    assert np.isfinite(ll_cat) and ll_cat > ll_flat
