@@ -485,8 +485,10 @@ def _pick_tile_bwd(p: int, l: int, d: int, live_rows: int, floor: int = 4,
         pt = (pt // 8) * 8
     elif pt >= 4:
         pt = 4
-    else:
+    elif pt >= 2:
         pt = 2
+    else:
+        pt = 1
     return pt
 
 
@@ -553,8 +555,9 @@ def fused_axial_block_bwd(
     pt_c = _pick_tile_bwd(p, lt, d, live_rows=18, floor=4 if hi else 8,
                           budget_bytes=(2 if hi else 4) * 1024 * 1024)
     # Row backward: ~2.1 MB/row measured at L=256 (16.68 MB at pt=8), so an
-    # 8 MiB target inside the 16 MiB scope picks pt=4 at L=256, 2 at L=512+.
-    pt_e = _pick_tile_bwd(p, l, d, live_rows=28, floor=2,
+    # 8 MiB target inside the 16 MiB scope picks pt=4 at L=256, 2 at L=512,
+    # 1 at L=1024 (pt=2 there measured over the scope).
+    pt_e = _pick_tile_bwd(p, l, d, live_rows=28, floor=1,
                           budget_bytes=(4 if hi else 8) * 1024 * 1024)
     # One padding serves all kernels: multiple of every tile (powers of two).
     pt_pad = max(pt_c, pt_e, 8)

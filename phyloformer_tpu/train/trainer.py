@@ -121,7 +121,9 @@ def _forward_pallas_ad(params, batch, cfg):
     codes = batch["codes"]
     b, n_seqs, seq_len = codes.shape
     interpret = jax.default_backend() != "tpu"  # compiled Pallas is TPU-only
-    max_sites = int(os.environ.get("PF_PALLAS_MAX_SITES", "640"))
+    # fused-training cap: L=1024 verified compiling + running on the dev
+    # chip (row-backward kernel at pt=1); the XLA path takes over beyond
+    max_sites = int(os.environ.get("PF_PALLAS_MAX_SITES", "1024"))
     if seq_len > max_sites and not interpret:
         return forward(
             params, codes, cfg,

@@ -25,9 +25,11 @@ import subprocess
 import sys
 import time
 
-PER_DEVICE_BATCH = 2
-N, L = 30, 128
-STEPS = 3
+# tiny shapes: the virtual devices all share the 2 host cores, so this
+# measurement is a correctness/overhead probe, not a throughput one
+PER_DEVICE_BATCH = 1
+N, L = 16, 64
+STEPS = 2
 
 
 def worker(n_devices: int) -> None:
