@@ -21,8 +21,10 @@ Numerics match :func:`phyloformer_tpu.ops.attention.scaled_linear_attention`
 with masks (padded sites/pairs are exact no-ops).  fp32 throughout; the
 matmuls are tiny (d=64) so the win is bandwidth, not MXU.
 
-Inference-path kernels (no dropout, no custom VJP yet — training uses the
-XLA path).
+Deterministic kernels (no dropout — the published-checkpoint setting).
+Training uses these forwards through the analytic custom VJP in
+:mod:`.autodiff` backed by the fused backward kernels in
+:mod:`.axial_block_bwd`.
 """
 
 from __future__ import annotations
