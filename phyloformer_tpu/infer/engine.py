@@ -249,13 +249,32 @@ class ShardedInferenceEngine(InferenceEngine):
         if fn is None:
             jax, cfg = self._jax, self.cfg
             act_sharding = self._act_sharding
+            mesh = self.mesh
 
-            def run(params, codes, site_mask, seq_mask):
-                out = forward(
-                    params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask,
-                    act_sharding=act_sharding,
-                )
-                return out.astype(self._jnp.float32)
+            if self.icfg.use_pallas and mesh.shape.get("pair", 1) > 1:
+                # fused kernels under shard_map: each device runs kernel A
+                # on its pair shard, psums the linear-attention stats (the
+                # only collective), runs kernel B locally
+                from ..data.pairs import n_pairs as _n_pairs
+                from ..ops.pallas.sharded import forward_fused_sharded
+
+                p_real = _n_pairs(pad_n)
+                interpret = jax.default_backend() != "tpu"
+
+                def run(params, codes, site_mask, seq_mask):
+                    out = forward_fused_sharded(
+                        params, codes, cfg, mesh,
+                        site_mask=site_mask, seq_mask=seq_mask,
+                        interpret=interpret,
+                    )
+                    return out[:, :p_real].astype(self._jnp.float32)
+            else:
+                def run(params, codes, site_mask, seq_mask):
+                    out = forward(
+                        params, codes, cfg, site_mask=site_mask,
+                        seq_mask=seq_mask, act_sharding=act_sharding,
+                    )
+                    return out.astype(self._jnp.float32)
 
             from ..parallel.mesh import batch_sharding, replicated
 

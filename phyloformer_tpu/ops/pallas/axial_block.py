@@ -363,3 +363,71 @@ def _fused_block_impl(
         x3 = x3[:, :p]
         x1 = x1[:, :p]
     return x3, x1, stats
+
+
+def fused_kernel_a(
+    x: jax.Array,
+    layer,
+    site_mask: jax.Array,
+    pair_mask: jax.Array,
+    n_heads: int = 4,
+    eps: float = 1e-5,
+    interpret: bool = False,
+    mxu_precision: str = "highest",
+):
+    """Kernel A alone: ``(x1, stats_raw)`` for one pair shard.
+
+    Used by the multi-chip fused forward (:mod:`.sharded`), which psums the
+    raw stats over the mesh 'pair' axis before running kernel B."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if mxu_precision.lower() in ("highest", "float32")
+        else jax.lax.Precision.DEFAULT
+    )
+    b, p, l, d = x.shape
+    pt = _pick_tile(p, l, d)
+    p_pad = -(-p // pt) * pt
+    if p_pad != p:
+        x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, 0), (0, 0)))
+        pair_mask = jnp.pad(pair_mask, ((0, 0), (0, p_pad - p)))
+    n_tiles = p_pad // pt
+    grid = (b, n_tiles)
+    la = layer["row_attn"]
+    ca = layer["col_attn"]
+    tile_spec = pl.BlockSpec(
+        (1, pt, l, d), lambda bi, pi: (bi, pi, 0, 0), memory_space=pltpu.VMEM
+    )
+    site_mask3 = site_mask[:, :, None].astype(jnp.float32)
+    pair_mask4 = pair_mask[:, :, None, None].astype(jnp.float32)
+    smask_spec = pl.BlockSpec(
+        (1, l, 1), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    pmask_spec = pl.BlockSpec(
+        (1, pt, 1, 1), lambda bi, pi: (bi, pi, 0, 0), memory_space=pltpu.VMEM
+    )
+    stats_spec = pl.BlockSpec(
+        (1, l, 3 * d), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    a_params = [
+        layer["row_norm"]["scale"], layer["row_norm"]["bias"],
+        la["wq"], la["bq"], la["wk"], la["bk"], la["wv"], la["bv"],
+        la["wo"], la["bo"],
+        layer["col_norm"]["scale"], layer["col_norm"]["bias"],
+        ca["wq"], ca["bq"], ca["wk"], ca["bk"], ca["wv"], ca["bv"],
+    ]
+    x1, stats = pl.pallas_call(
+        functools.partial(_kernel_a, n_heads=n_heads, eps=eps, prec=prec,
+                          interpret=interpret),
+        grid=grid,
+        in_specs=[tile_spec, smask_spec, pmask_spec] + [full() for _ in a_params],
+        out_specs=(tile_spec, stats_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, p_pad, l, d), x.dtype),
+            jax.ShapeDtypeStruct((b, l, 3 * d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, site_mask3, pair_mask4, *a_params)
+    if p_pad != p:
+        x1 = x1[:, :p]
+    return x1, stats

@@ -173,3 +173,74 @@ def test_fused_block_other_architecture():
         got = fused_axial_block(x, layer, site_mask, pair_mask, cfg.n_heads,
                                 interpret=True)
     assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-4
+
+
+def test_sharded_fused_forward_matches_xla():
+    """Multi-chip fused inference (kernel A per pair shard + stats psum +
+    kernel B local, under shard_map) == the XLA fp32 forward, on the
+    8-device virtual mesh with padded sites AND sequences."""
+    from phyloformer_tpu.models.params import init_params
+    from phyloformer_tpu.models.phyloformer import (
+        forward,
+        pair_mask_from_seq_mask,
+    )
+    from phyloformer_tpu.ops.pallas.sharded import forward_fused_sharded
+    from phyloformer_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = PhyloformerConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=2, pair=4)
+    rng = np.random.default_rng(1)
+    b, n, l = 2, 17, 48  # P = 136 -> pair shards of 34
+    codes = jnp.asarray(rng.integers(0, 20, (b, n, l)), jnp.int32)
+    site_mask = jnp.asarray(np.arange(l)[None] < 41).repeat(b, 0)
+    seq_mask = jnp.asarray(np.arange(n)[None] < 15).repeat(b, 0)
+
+    with jax.default_matmul_precision("float32"):
+        want = np.asarray(
+            forward(params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask)
+        )
+        got = np.asarray(
+            forward_fused_sharded(
+                params, codes, cfg, mesh, site_mask=site_mask,
+                seq_mask=seq_mask, interpret=True,
+            )
+        )
+    p = n * (n - 1) // 2
+    pm = np.asarray(pair_mask_from_seq_mask(seq_mask, n))
+    err = np.abs(got[:, :p] - want)[pm].max()
+    assert err < 5e-4, f"max err {err}"
+
+
+def test_sharded_engine_pallas_path():
+    """ShardedInferenceEngine with use_pallas routes through the shard_map
+    fused forward and agrees with a single-device engine."""
+    from phyloformer_tpu.data.fasta import Alignment
+    from phyloformer_tpu.infer.engine import (
+        InferenceConfig,
+        InferenceEngine,
+        ShardedInferenceEngine,
+    )
+    from phyloformer_tpu.models.params import init_params
+    from phyloformer_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = PhyloformerConfig(n_blocks=2)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    mesh = make_mesh(data=2, pair=4)
+    rng = np.random.default_rng(5)
+    alns = [
+        Alignment(codes=rng.integers(0, 20, (12 - (i % 2), 30 + i)).astype(np.int8),
+                  ids=[f"T{j}" for j in range(12 - (i % 2))])
+        for i in range(4)
+    ]
+    icfg = InferenceConfig(n_buckets=(12,), l_buckets=(40,), use_pallas=True)
+    got = ShardedInferenceEngine(params, cfg, mesh, icfg).predict(alns)
+    want = InferenceEngine(
+        params, cfg, InferenceConfig(n_buckets=(12,), l_buckets=(40,))
+    ).predict(alns)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, atol=5e-4)
