@@ -1,6 +1,7 @@
 #include "pftree.h"
 
 #include <algorithm>
+#include <chrono>
 #include <array>
 #include <cmath>
 #include <cstdlib>
@@ -1394,11 +1395,18 @@ Tree build_tree(const DistMatrix& dm, const std::string& method, bool nni,
   // Trees we construct always use leaf ids in dm order, so the map is the
   // identity.  Beyond the memory cap the cache stays unusable and every
   // stage falls back to its full-table path (previous behavior).
+  static const bool debug = std::getenv("PFTREE_DEBUG") != nullptr;
+  auto now = [] {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
   std::vector<int> map(dm.n);
   for (int i = 0; i < dm.n; ++i) map[i] = i;
   DeltaCache cache;
   cache.alloc(dm.n, dm, map);
 
+  double t0 = now();
   Tree t;
   if (method == "nj" || method == "bionj") {
     t = method == "nj" ? nj_tree(dm) : bionj_tree(dm);
@@ -1406,20 +1414,43 @@ Tree build_tree(const DistMatrix& dm, const std::string& method, bool nni,
   } else {
     t = bme_greedy(dm, &cache);
   }
+  if (debug)
+    fprintf(stderr, "[pftree] construct: %.2fs\n", now() - t0);
   if (dm.n >= 4) {
     bool moved = true;
     int guard = 0;
+    double t_nni = 0, t_spr = 0;
+    int nni_moves = 0, spr_rounds = 0;
     while (moved && guard < 200 * dm.n) {
       moved = false;
-      if (nni)
-        while (bnni_step(dm, &t, &cache) && ++guard < 200 * dm.n) moved = true;
-      if (spr && bspr_step(dm, &t, &cache)) {
-        moved = true;
-        ++guard;
+      if (nni) {
+        double s = now();
+        while (bnni_step(dm, &t, &cache) && ++guard < 200 * dm.n) {
+          moved = true;
+          ++nni_moves;
+        }
+        t_nni += now() - s;
+      }
+      if (spr) {
+        double s = now();
+        bool m = bspr_step(dm, &t, &cache);
+        t_spr += now() - s;
+        if (m) {
+          moved = true;
+          ++guard;
+          ++spr_rounds;
+        }
       }
     }
+    if (debug)
+      fprintf(stderr,
+              "[pftree] nni: %.2fs (%d moves)  spr: %.2fs (%d rounds)\n",
+              t_nni, nni_moves, t_spr, spr_rounds);
   }
+  double t1 = now();
   assign_balanced_lengths(dm, &t);
+  if (debug)
+    fprintf(stderr, "[pftree] lengths: %.2fs\n", now() - t1);
   return t;
 }
 
