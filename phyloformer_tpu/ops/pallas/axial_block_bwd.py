@@ -37,7 +37,7 @@ training wrapper falls back to the remat VJP beyond it).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -493,7 +493,9 @@ def _pick_tile_bwd(p: int, l: int, d: int, live_rows: int, floor: int = 4,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "eps", "interpret", "mxu_precision")
+    jax.jit,
+    static_argnames=("n_heads", "eps", "interpret", "mxu_precision",
+                     "psum_axis"),
 )
 def fused_axial_block_bwd(
     x: jax.Array,
@@ -507,6 +509,8 @@ def fused_axial_block_bwd(
     eps: float = 1e-5,
     interpret: bool = False,
     mxu_precision: str = "highest",
+    pair_count: Optional[jax.Array] = None,
+    psum_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Backward of one fused axial block.
 
@@ -516,6 +520,12 @@ def fused_axial_block_bwd(
       stats: ``(B, L, 3d)`` raw column sums Σk|Σq|Σk·v (forward residual).
       g3: ``(B, P, L, d)`` cotangent of the block output.
       layer / site_mask / pair_mask: as in the forward.
+      pair_count: optional ``(B, 1)`` GLOBAL pair count override (multi-chip:
+        the local mask only covers this shard's pairs).
+      psum_axis: when running under ``shard_map`` with the pair axis sharded,
+        the mesh axis over which to psum the cross-pair coupling sum A1
+        between kernels C and D.  Weight gradients then come back as
+        per-shard partials for the caller to psum.
 
     Returns:
       ``(gx, dlayer)`` — cotangents of ``x`` and of every entry of ``layer``.
@@ -533,7 +543,8 @@ def fused_axial_block_bwd(
     ca = layer["col_attn"]
     ffn = layer["ffn"]
 
-    pair_count = jnp.sum(pair_mask.astype(jnp.float32), axis=1)[:, None]  # (B,1)
+    if pair_count is None:
+        pair_count = jnp.sum(pair_mask.astype(jnp.float32), axis=1)[:, None]
 
     # Kernel C is per-site local, so its site axis is tiled: the largest
     # multiple-of-8 divisor of l that is <= 320 (bucketed shapes are
@@ -645,6 +656,11 @@ def fused_axial_block_bwd(
         out_shape=c_out_shapes,
         interpret=interpret,
     )(x1, g3, stats, pair_mask4, pair_count, *c_params)
+
+    if psum_axis is not None:
+        # multi-chip: A1 = Σ over ALL pairs of d_attn ⊙ qn — the sole
+        # cross-shard coupling of the whole block backward
+        a1 = jax.lax.psum(a1, psum_axis)
 
     # ---- kernel D: column-attention finalize (L-tiled like kernel C) ----
     d_params = [

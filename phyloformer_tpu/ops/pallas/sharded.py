@@ -37,6 +37,7 @@ from jax.sharding import PartitionSpec as P
 
 from ...data.pairs import pair_indices
 from .axial_block import fused_kernel_a
+from .axial_block_bwd import fused_axial_block_bwd
 
 
 def forward_fused_sharded(
@@ -125,6 +126,161 @@ def forward_fused_sharded(
             check_rep=False,
         )
         return fn(emb, site_mask, pair_mask,
+                  jnp.asarray(i_pad), jnp.asarray(j_pad))
+
+
+def sharded_fused_loss_and_grads(
+    params,
+    batch,
+    cfg,
+    mesh,
+    loss_name: str = "mae",
+    interpret: bool = False,
+):
+    """Fully-fused multi-chip TRAINING: one ``shard_map`` computes the
+    masked loss and every parameter gradient with the fused Pallas kernels,
+    batch over 'data' and the activation pair axis over 'pair'.
+
+    The backward is written out manually (no ``jax.grad``): per block the
+    forward residuals (x, x1, global stats) stay on their shard, the
+    analytic backward kernels (C/D/E) run shard-locally, and the ONLY
+    cross-shard traffic is the per-block stats psum (forward), the A1 psum
+    (backward) and one final psum of the parameter gradients — exactly the
+    collectives a hand-tuned multi-chip trainer would issue.  Enables
+    training at (n, L) whose activations exceed single-chip HBM.
+
+    Returns ``(loss, grads)`` with both replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    codes = batch["codes"]
+    b, n_seqs, seq_len = codes.shape
+    site_mask = batch.get("site_mask")
+    seq_mask = batch.get("seq_mask")
+    if site_mask is None:
+        site_mask = jnp.ones((b, seq_len), bool)
+    if seq_mask is None:
+        seq_mask = jnp.ones((b, n_seqs), bool)
+
+    npair = mesh.shape["pair"]
+    i_idx, j_idx = pair_indices(n_seqs)
+    p_real = len(i_idx)
+    p_pad = -(-p_real // npair) * npair
+    i_pad = np.zeros(p_pad, np.int32)
+    j_pad = np.zeros(p_pad, np.int32)
+    i_pad[:p_real], j_pad[:p_real] = i_idx, j_idx
+    dists = jnp.pad(batch["dists"], ((0, 0), (0, p_pad - p_real)))
+
+    mxu = "highest" if cfg.matmul_precision == "float32" else "default"
+    n_heads, eps = cfg.n_heads, cfg.ln_eps
+    axes = ("data", "pair")
+
+    def local(params, codes, dists_l, smask, sqmask, i_all, j_all):
+        k = jax.lax.axis_index("pair")
+        per = p_pad // npair
+        i_loc = jax.lax.dynamic_slice(i_all, (k * per,), (per,))
+        j_loc = jax.lax.dynamic_slice(j_all, (k * per,), (per,))
+        # padding pairs (appended zeros) must be masked even when they
+        # alias real sequence 0: mask by global pair position
+        pos = k * per + jnp.arange(per)
+        pmask = (
+            jnp.take(sqmask, i_loc, axis=1)
+            & jnp.take(sqmask, j_loc, axis=1)
+            & (pos < p_real)[None, :]
+        )
+
+        # ---- forward (residuals stay local) ----
+        z = jnp.take(params["embed"]["w"], codes, axis=0) + params["embed"]["b"]
+        emb = jax.nn.relu(z)  # (b_loc, n, L, d)
+        x = jnp.take(emb, i_loc, axis=1) + jnp.take(emb, j_loc, axis=1)
+        count = jax.lax.psum(
+            jnp.sum(pmask.astype(jnp.float32), axis=1), "pair"
+        )  # (b_loc,) global pair count
+        res = []
+        for layer in params["layers"]:
+            x1, st_loc = fused_kernel_a(x, layer, smask, pmask, n_heads, eps,
+                                        interpret, mxu)
+            st = jax.lax.psum(st_loc, "pair")
+            res.append((x, x1, st))
+            x = _kernel_b_host(x1, st, count, layer, n_heads, eps, interpret,
+                               mxu)
+
+        wh, bh = params["head"]["w"], params["head"]["b"]
+        hpre = x @ wh + bh  # (b_loc, P_loc, L, 1)
+        sp = jax.nn.softplus(hpre)[..., 0]
+        m = smask[:, None, :].astype(sp.dtype)
+        scount = jnp.maximum(jnp.sum(m, axis=-1), 1.0)  # (b_loc, 1)
+        preds = jnp.sum(sp * m, axis=-1) / scount  # (b_loc, P_loc)
+
+        # ---- masked loss + its cotangent (matches train/losses.py) ----
+        pm = pmask.astype(preds.dtype)
+        err = preds - dists_l
+        n_tot = jnp.maximum(jax.lax.psum(jnp.sum(pm), axes), 1.0)
+        if loss_name in ("mae", "l1"):
+            loss = jax.lax.psum(jnp.sum(jnp.abs(err) * pm), axes) / n_tot
+            dpreds = jnp.sign(err) * pm / n_tot
+        elif loss_name == "mre":
+            w = pm / (dists_l + 1e-8)
+            loss = jax.lax.psum(jnp.sum(jnp.abs(err) * w), axes) / n_tot
+            dpreds = jnp.sign(err) * w / n_tot
+        elif loss_name == "mse":
+            loss = jax.lax.psum(jnp.sum(err * err * pm), axes) / n_tot
+            dpreds = 2.0 * err * pm / n_tot
+        else:
+            raise ValueError(f"unsupported loss {loss_name!r}")
+
+        # ---- manual backward ----
+        d_sp = dpreds[:, :, None] * m / scount[:, :, None]  # (b,P_loc,L)
+        d_hpre = d_sp[..., None] * jax.nn.sigmoid(hpre)
+        dwh = jnp.einsum("bpld,bplo->do", x, d_hpre)
+        dbh = jnp.sum(d_hpre, axis=(0, 1, 2))
+        g = jnp.einsum("bplo,do->bpld", d_hpre, wh)
+
+        dlayers = []
+        for layer, (x0, x1, st) in zip(reversed(params["layers"]),
+                                       reversed(res)):
+            g, dlayer = fused_axial_block_bwd(
+                x0, x1, st, g, layer, smask, pmask, n_heads, eps, interpret,
+                mxu, pair_count=count[:, None], psum_axis="pair",
+            )
+            dlayers.append(dlayer)
+        dlayers.reverse()
+
+        demb = jnp.zeros_like(emb)
+        demb = demb.at[:, i_loc].add(g)
+        demb = demb.at[:, j_loc].add(g)
+        dz = demb * (z > 0)
+        d = dz.shape[-1]
+        dW = jnp.zeros_like(params["embed"]["w"]).at[
+            codes.reshape(-1)
+        ].add(dz.reshape(-1, d))
+        db = jnp.sum(dz, axis=(0, 1, 2))
+
+        grads = {
+            "embed": {"w": dW, "b": db},
+            "layers": dlayers,
+            "head": {"w": dwh, "b": dbh},
+        }
+        grads = jax.lax.psum(grads, axes)
+        return loss, grads
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),  # params replicated
+            P("data", None, None),  # codes
+            P("data", "pair"),  # dists (pair-padded)
+            P("data", None),  # site mask
+            P("data", None),  # seq mask
+            P(None),  # pair indices
+            P(None),
+        ),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return fn(params, codes, dists, site_mask, seq_mask,
                   jnp.asarray(i_pad), jnp.asarray(j_pad))
 
 

@@ -169,11 +169,43 @@ def make_train_step(
     act_sharding = (
         activation_pair_sharding(mesh) if (mesh is not None and tcfg.shard_pairs) else None
     )
+    # Fully-fused multi-chip path: pair axis sharded AND fused kernels on —
+    # one shard_map computes loss + all gradients with the Pallas kernels
+    # (manual backward; per-block stats/A1 psums are the only collectives).
+    sharded_fused = (
+        mesh is not None
+        and tcfg.use_pallas
+        and tcfg.shard_pairs
+        and mesh.shape.get("pair", 1) > 1
+    )
+    if sharded_fused and cfg.dropout:
+        raise ValueError("use_pallas training requires dropout=0")
+    # Pallas custom calls don't auto-partition under a GSPMD mesh jit: with
+    # a mesh, fused kernels run ONLY through the explicit shard_map path;
+    # any fallback under a mesh uses the XLA forward.
+    fb_tcfg = dataclasses.replace(
+        tcfg, use_pallas=tcfg.use_pallas and mesh is None
+    )
+
+    def compute_loss_and_grads(params, batch, dropout_key):
+        import os
+
+        max_sites = int(os.environ.get("PF_PALLAS_MAX_SITES", "1024"))
+        if sharded_fused and batch["codes"].shape[2] <= max_sites:
+            from ..ops.pallas.sharded import sharded_fused_loss_and_grads
+
+            interpret = jax.default_backend() != "tpu"
+            loss, grads = sharded_fused_loss_and_grads(
+                params, batch, cfg, mesh, tcfg.loss, interpret
+            )
+            return loss, grads
+        (loss, _aux), grads = jax.value_and_grad(_batch_loss, has_aux=True)(
+            params, batch, cfg, fb_tcfg, loss_fn, dropout_key, act_sharding
+        )
+        return loss, grads
 
     def step_fn(state: TrainState, batch, dropout_key):
-        (loss, (preds, pair_mask)), grads = jax.value_and_grad(
-            _batch_loss, has_aux=True
-        )(state["params"], batch, cfg, tcfg, loss_fn, dropout_key, act_sharding)
+        loss, grads = compute_loss_and_grads(state["params"], batch, dropout_key)
         updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         new_state = {

@@ -158,3 +158,31 @@ def test_pallas_train_step_matches_xla():
     for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
                     jax.tree_util.tree_leaves(s2["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_sharded_fused_train_step_matches_unsharded():
+    """Multi-chip fused training (shard_map + manual backward over the
+    Pallas kernels, pair axis sharded) == the plain XLA training step."""
+    from phyloformer_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = PhyloformerConfig(n_blocks=2, n_heads=4, embed_dim=32)
+    mesh = make_mesh(data=2, pair=4)
+    tcfg_x = TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=50)
+    tcfg_s = TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=50,
+                         use_pallas=True, shard_pairs=True)
+    batch = toy_batch(bsz=2, n=11, L=40)  # P=55 -> one padding pair/shard
+
+    s1, tx1 = create_train_state(cfg, tcfg_x)
+    s2, tx2 = create_train_state(cfg, tcfg_s)
+    step1 = make_train_step(cfg, tcfg_x, tx1)
+    step2 = make_train_step(cfg, tcfg_s, tx2, mesh=mesh)
+    from phyloformer_tpu.parallel.mesh import shard_batch
+
+    s1, l1 = step1(s1, batch, jax.random.PRNGKey(0))
+    s2, l2 = step2(s2, shard_batch(mesh, batch), jax.random.PRNGKey(0))
+    assert float(l1["train_loss"]) == pytest.approx(float(l2["train_loss"]), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
