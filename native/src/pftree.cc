@@ -1,6 +1,7 @@
 #include "pftree.h"
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <array>
 #include <cmath>
@@ -8,8 +9,10 @@
 #include <cstring>
 #include <functional>
 #include <limits>
+#include <memory>
 #include <sstream>
 #include <stdexcept>
+#include <thread>
 
 namespace pftree {
 
@@ -366,8 +369,8 @@ class DeltaCache {
     int ne_final = n_leaves <= 2 ? 1 : 2 * n_leaves - 3;
     mcap_ = 2 * ne_final;
     if (static_cast<size_t>(mcap_) * mcap_ > (size_t{1} << 26)) return false;
-    val_.assign(static_cast<size_t>(mcap_) * mcap_, 0.0);
-    stamp_.assign(static_cast<size_t>(mcap_) * mcap_, 0);  // 0 never matches
+    // value-init zeroes every stamp; stamp 0 never matches a real version
+    cell_.reset(new Cell[static_cast<size_t>(mcap_) * mcap_]());
     ver_.assign(mcap_, 1);
     usable_ = true;
     return true;
@@ -409,17 +412,38 @@ class DeltaCache {
     }
     order_.clear();
     order_.reserve(m_);
-    std::vector<char> done(m_, 0);
-    std::function<void(int)> visit = [&](int d) {
-      if (done[d]) return;
-      done[d] = 1;
-      if (kids_[d][0] >= 0) {
-        visit(kids_[d][0]);
-        visit(kids_[d][1]);
+    // Iterative postorder over the directed-edge DAG (a direction can be
+    // reached from two parents, so the emitted flag is per node while the
+    // expanded bit is per stack FRAME — emitting on a node-level state
+    // would mis-order shared children).  rebuild runs once per applied
+    // move and once per construction insert; the call overhead of the
+    // previous recursive std::function was a measurable constant at
+    // n >= 800.
+    done_.assign(m_, 0);
+    stack_.clear();
+    for (int d0 = 0; d0 < m_; ++d0) {
+      if (done_[d0]) continue;
+      stack_.push_back(d0 << 1);
+      while (!stack_.empty()) {
+        int frame = stack_.back();
+        int d = frame >> 1;
+        if (done_[d]) {  // emitted via an earlier frame
+          stack_.pop_back();
+          continue;
+        }
+        if (frame & 1) {  // children complete; emit
+          stack_.pop_back();
+          done_[d] = 1;
+          order_.push_back(d);
+          continue;
+        }
+        stack_.back() = frame | 1;  // mark this frame expanded
+        if (kids_[d][0] >= 0) {
+          if (!done_[kids_[d][1]]) stack_.push_back(kids_[d][1] << 1);
+          if (!done_[kids_[d][0]]) stack_.push_back(kids_[d][0] << 1);
+        }
       }
-      order_.push_back(d);
-    };
-    for (int d = 0; d < m_; ++d) visit(d);
+    }
     for (int d : order_)
       sz_[d] = kids_[d][0] < 0 ? 1 : sz_[kids_[d][0]] + sz_[kids_[d][1]];
     return true;
@@ -448,23 +472,69 @@ class DeltaCache {
     return true;
   }
 
-  // Precondition: sub(d1) and sub(d2) are disjoint.
+  // Precondition: sub(d1) and sub(d2) are disjoint.  Thread-safe for
+  // concurrent readers during the scan phases: a fill publishes the value
+  // with a release store of the stamp, readers pair it with an acquire
+  // load, and concurrent fills of the same entry write identical bits (the
+  // value is a deterministic function of dm and the stamped versions).
+  // Version bumps / rebuilds must stay single-threaded.
   double at(int d1, int d2) {
     size_t idx = static_cast<size_t>(d1) * mcap_ + d2;
     uint64_t want =
         (static_cast<uint64_t>(ver_[d1]) << 32) | ver_[d2];
-    if (stamp_[idx] == want) return val_[idx];
+    Cell& c = cell_[idx];
+    if (c.stamp.load(std::memory_order_acquire) == want)
+      return c.val.load(std::memory_order_relaxed);
     int a = d1, b = d2;
     if (sz_[a] < sz_[b]) std::swap(a, b);
     double r = sz_[a] == 1
                    ? (*dm_)((*map_)[head_[a]], (*map_)[head_[b]])
                    : 0.5 * (at(kids_[a][0], b) + at(kids_[a][1], b));
-    stamp_[idx] = want;
-    val_[idx] = r;
-    size_t idx2 = static_cast<size_t>(d2) * mcap_ + d1;
-    stamp_[idx2] = (static_cast<uint64_t>(ver_[d2]) << 32) | ver_[d1];
-    val_[idx2] = r;
+    c.val.store(r, std::memory_order_relaxed);
+    c.stamp.store(want, std::memory_order_release);
+    Cell& c2 = cell_[static_cast<size_t>(d2) * mcap_ + d1];
+    c2.val.store(r, std::memory_order_relaxed);
+    c2.stamp.store((static_cast<uint64_t>(ver_[d2]) << 32) | ver_[d1],
+                   std::memory_order_release);
     return r;
+  }
+
+  // --- sweep-to-sweep dirt tracking (batched SPR scan pruning) ------------
+  //
+  // snapshot_versions() records the per-direction versions a completed SPR
+  // scan read its deltas under; refresh_dirty() (call at the START of the
+  // next scan, after any rebuilds) recomputes, in postorder, which
+  // directions' subtrees changed since that snapshot.  A (prune, target)
+  // pair whose every contributing direction is clean has the exact same
+  // insertion cost as last scan — and the batched sweep either applied or
+  // version-invalidated every improving move it recorded, so clean costs
+  // are known non-improving and whole clean cones can be skipped.
+  void snapshot_versions() {
+    last_ver_ = ver_;
+    has_snap_ = true;
+  }
+  void refresh_dirty() {
+    dirty_.assign(m_, 1);
+    dirty_sub_.assign(m_, 1);
+    if (!has_snap_) return;  // no snapshot yet: everything dirty (full scan)
+    for (int d : order_) {
+      char self = d >= static_cast<int>(last_ver_.size()) ||
+                  ver_[d] != last_ver_[d];
+      dirty_[d] = self;
+      char sub = self;
+      if (kids_[d][0] >= 0)
+        sub = sub | dirty_sub_[kids_[d][0]] | dirty_sub_[kids_[d][1]];
+      dirty_sub_[d] = sub;
+    }
+  }
+  bool dirty(int d) const { return dirty_[d]; }
+  bool dirty_sub(int d) const { return dirty_sub_[d]; }
+
+  // Hint the cache line of entry (d1, d2) into L1 ahead of at() — the scan
+  // is bound by dependent random accesses into the (hundreds of MB) table;
+  // issuing the loads for a whole mixture up front overlaps the misses.
+  void prefetch(int d1, int d2) const {
+    __builtin_prefetch(&cell_[static_cast<size_t>(d1) * mcap_ + d2], 0, 1);
   }
 
   // Balanced average distance from dm row k_dm to every directed subtree,
@@ -481,15 +551,25 @@ class DeltaCache {
   int head(int d) const { return head_[d]; }
 
  private:
+  // value + the (ver_[d1], ver_[d2]) pair it was computed under, interleaved
+  // so a warm probe touches one cache line instead of two (the table is
+  // hundreds of MB at n>=800; the scan's random accesses are miss-bound).
+  // Atomics make concurrent scan-phase fills well-defined (see at()); on
+  // x86-64 the relaxed/acquire/release ops compile to plain loads/stores.
+  struct Cell {
+    std::atomic<double> val;
+    std::atomic<uint64_t> stamp;
+  };
   const DistMatrix* dm_ = nullptr;
   const std::vector<int>* map_ = nullptr;
   int mcap_ = 0, m_ = 0;
-  bool usable_ = false;
-  std::vector<int> head_, sz_, order_;
+  bool usable_ = false, has_snap_ = false;
+  std::vector<int> head_, sz_, order_, stack_;
+  std::vector<char> done_;
   std::vector<std::array<int, 2>> kids_;
-  std::vector<uint32_t> ver_;
-  std::vector<double> val_;
-  std::vector<uint64_t> stamp_;
+  std::vector<uint32_t> ver_, last_ver_;
+  std::vector<char> dirty_, dirty_sub_;
+  std::unique_ptr<Cell[]> cell_;
 };
 
 }  // namespace
@@ -824,42 +904,45 @@ bool bnni_step_slow(const DistMatrix& dm, Tree* t, double eps = 1e-12) {
   return true;
 }
 
-// Cache-backed balanced-NNI pass: same scan order, gain formulas and
-// tie-breaking as bnni_step_slow, but the six sibling deltas per internal
-// edge are memoized DeltaCache lookups instead of full-table recomputes,
-// and an applied swap only invalidates directions containing its endpoints.
-bool bnni_step_fast(const DistMatrix& dm, Tree* t, DeltaCache* C,
-                    double eps = 1e-12) {
-  (void)dm;
-  double best_gain = -eps;
-  int best_e = -1, best_swap = 0;
-  for (int e = 0; e < static_cast<int>(t->edges.size()); ++e) {
-    int u = t->edges[e].u, v = t->edges[e].v;
-    if (u < t->n_leaves || v < t->n_leaves) continue;  // internal edges only
-    std::vector<int> ue, ve;
-    for (int e2 : t->adj[u])
-      if (e2 != e) ue.push_back(away(*t, e2, u));
-    for (int e2 : t->adj[v])
-      if (e2 != e) ve.push_back(away(*t, e2, v));
-    if (ue.size() != 2 || ve.size() != 2) continue;
-    int A = ue[0], B = ue[1], Cc = ve[0], D = ve[1];
-    double dAB = C->at(A, B), dCD = C->at(Cc, D);
-    double dAC = C->at(A, Cc), dBD = C->at(B, D);
-    double dAD = C->at(A, D), dBC = C->at(B, Cc);
-    double dl1 = 0.25 * ((dAC + dBD) - (dAB + dCD));
-    double dl2 = 0.25 * ((dAD + dBC) - (dAB + dCD));
-    if (-dl1 > best_gain) best_gain = -dl1, best_e = e, best_swap = 1;
-    if (-dl2 > best_gain) best_gain = -dl2, best_e = e, best_swap = 2;
-  }
-  if (best_e < 0) return false;
-  int u = t->edges[best_e].u, v = t->edges[best_e].v;
+// Gains of the two NNI swaps across internal edge e, from cached deltas.
+// Returns false for non-internal / non-binary configurations.
+bool nni_gains(const Tree& t, DeltaCache* C, int e, double* gain1,
+               double* gain2) {
+  int u = t.edges[e].u, v = t.edges[e].v;
+  if (u < t.n_leaves || v < t.n_leaves) return false;  // internal edges only
+  std::array<int, 2> ue{-1, -1}, ve{-1, -1};
+  int cu = 0, cv = 0;
+  for (int e2 : t.adj[u])
+    if (e2 != e) {
+      if (cu == 2) return false;
+      ue[cu++] = away(t, e2, u);
+    }
+  for (int e2 : t.adj[v])
+    if (e2 != e) {
+      if (cv == 2) return false;
+      ve[cv++] = away(t, e2, v);
+    }
+  if (cu != 2 || cv != 2) return false;
+  int A = ue[0], B = ue[1], Cc = ve[0], D = ve[1];
+  double dAB = C->at(A, B), dCD = C->at(Cc, D);
+  double dAC = C->at(A, Cc), dBD = C->at(B, D);
+  double dAD = C->at(A, D), dBC = C->at(B, Cc);
+  *gain1 = -0.25 * ((dAC + dBD) - (dAB + dCD));
+  *gain2 = -0.25 * ((dAD + dBC) - (dAB + dCD));
+  return true;
+}
+
+// Apply NNI swap (1: B<->C, 2: B<->D) across internal edge e and refresh the
+// cache (only directions containing u/v change contents).
+void apply_nni(Tree* t, DeltaCache* C, int e, int swap) {
+  int u = t->edges[e].u, v = t->edges[e].v;
   std::vector<int> ue, ve;
   for (int e2 : t->adj[u])
-    if (e2 != best_e) ue.push_back(e2);
+    if (e2 != e) ue.push_back(e2);
   for (int e2 : t->adj[v])
-    if (e2 != best_e) ve.push_back(e2);
+    if (e2 != e) ve.push_back(e2);
   int eb = ue[1];
-  int ec = best_swap == 1 ? ve[0] : ve[1];
+  int ec = swap == 1 ? ve[0] : ve[1];
   auto repoint = [&](int edge, int from, int to) {
     if (t->edges[edge].u == from)
       t->edges[edge].u = to;
@@ -873,7 +956,60 @@ bool bnni_step_fast(const DistMatrix& dm, Tree* t, DeltaCache* C,
   repoint(ec, v, u);
   C->rebuild(*t);
   C->invalidate_containing({u, v});
+}
+
+// Cache-backed balanced-NNI pass: same scan order, gain formulas and
+// tie-breaking as bnni_step_slow, but the six sibling deltas per internal
+// edge are memoized DeltaCache lookups instead of full-table recomputes,
+// and an applied swap only invalidates directions containing its endpoints.
+bool bnni_step_fast(const DistMatrix& dm, Tree* t, DeltaCache* C,
+                    double eps = 1e-12) {
+  (void)dm;
+  double best_gain = -eps;
+  int best_e = -1, best_swap = 0;
+  for (int e = 0; e < static_cast<int>(t->edges.size()); ++e) {
+    double g1, g2;
+    if (!nni_gains(*t, C, e, &g1, &g2)) continue;
+    if (g1 > best_gain) best_gain = g1, best_e = e, best_swap = 1;
+    if (g2 > best_gain) best_gain = g2, best_e = e, best_swap = 2;
+  }
+  if (best_e < 0) return false;
+  apply_nni(t, C, best_e, best_swap);
   return true;
+}
+
+// Batched balanced-NNI round (large n): ONE scan records every improving
+// swap; they are then applied best-first, each re-verified against the
+// CURRENT tree/cache before applying, so the balanced length strictly
+// decreases per applied move exactly as in the one-move-per-scan search —
+// only the visiting order (and thus possibly which local optimum) differs.
+// This removes the full O(n)-edge rescan the search paid per applied move.
+// Returns the number of moves applied.
+int bnni_round_batch(Tree* t, DeltaCache* C, double eps = 1e-12) {
+  struct NniMove {
+    double gain;
+    int e, swap;
+  };
+  std::vector<NniMove> moves;
+  for (int e = 0; e < static_cast<int>(t->edges.size()); ++e) {
+    double g1, g2;
+    if (!nni_gains(*t, C, e, &g1, &g2)) continue;
+    if (g1 > -eps || g2 > -eps)  // same acceptance threshold as bnni_step
+      moves.push_back(g1 >= g2 ? NniMove{g1, e, 1} : NniMove{g2, e, 2});
+  }
+  std::sort(moves.begin(), moves.end(), [](const NniMove& a, const NniMove& b) {
+    return a.gain != b.gain ? a.gain > b.gain : a.e < b.e;
+  });
+  int applied = 0;
+  for (const NniMove& m : moves) {
+    double g1, g2;  // re-verify on the current tree; pick the better swap
+    if (!nni_gains(*t, C, m.e, &g1, &g2)) continue;
+    double g = std::max(g1, g2);
+    if (g <= -eps) continue;
+    apply_nni(t, C, m.e, g1 >= g2 ? 1 : 2);
+    ++applied;
+  }
+  return applied;
 }
 
 bool bnni_step(const DistMatrix& dm, Tree* t, DeltaCache* cache,
@@ -924,6 +1060,7 @@ struct SprMove {
 // delta(behind-mixture, sub(d_g)).  sibs = [R0, Sib_m, ..., Sib_1] with
 // Sib_1 nearest (weight 1/2) and R0 sharing the farthest sibling's weight.
 double mix_delta(DeltaCache& T, const std::vector<int>& sibs, int d_g) {
+  for (int s : sibs) T.prefetch(s, d_g);
   double acc = 0.0, w = 0.5;
   for (int k = static_cast<int>(sibs.size()) - 1; k >= 1; --k) {
     acc += w * T.at(sibs[k], d_g);
@@ -935,10 +1072,18 @@ double mix_delta(DeltaCache& T, const std::vector<int>& sibs, int d_g) {
 
 // DFS over one insertion cone for pruned subtree sub(dS).  When `moves` is
 // non-null, every improving (prune, target) pair is also recorded for the
-// batched large-n application path.
+// batched large-n application path.  `path_dirty` says whether any
+// direction contributing to the costs so far (the pruned subtree, the base
+// directions, the accumulated siblings) changed version since the previous
+// scan's snapshot; a clean path into a clean cone reproduces last scan's
+// (non-improving) costs exactly and is skipped.  Only the batched mode
+// snapshots, so `path_dirty` is always true in single-move mode (full scan,
+// reference semantics preserved).
 void spr_walk(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
               std::vector<int>* sibs, double base_cost, SprBest* best,
-              std::vector<SprMove>* moves, double record_eps) {
+              std::vector<SprMove>* moves, double record_eps,
+              bool path_dirty) {
+  if (!path_dirty && !T.dirty_sub(d_g)) return;
   double cost =
       0.5 * (sA + T.at(dS, d_g) - mix_delta(T, *sibs, d_g));
   double gain = base_cost - cost;
@@ -960,7 +1105,7 @@ void spr_walk(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
     int sib = away(t, kid_edges[1 - i], h);
     sibs->push_back(sib);
     spr_walk(t, T, dS, down, 0.5 * T.at(dS, sib) + 0.5 * sA, sibs, base_cost,
-             best, moves, record_eps);
+             best, moves, record_eps, path_dirty || T.dirty(sib));
     sibs->pop_back();
   }
 }
@@ -1111,45 +1256,95 @@ bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok,
     return false;
   }
   DeltaCache& T = *cache;
+  // Dirt flags vs the previous batched scan's snapshot (everything dirty
+  // when no snapshot exists — first sweep, or single-move mode throughout).
+  T.refresh_dirty();
+  static const bool debug = std::getenv("PFTREE_DEBUG") != nullptr;
+  double t_scan0 = 0;
+  int n_dirty = 0;
+  if (debug) {
+    t_scan0 = std::chrono::duration<double>(
+                  std::chrono::steady_clock::now().time_since_epoch())
+                  .count();
+    for (int d = 0; d < 2 * ne; ++d) n_dirty += T.dirty(d);
+  }
 
   SprBest best{eps};
   std::vector<SprMove> moves;
-  std::vector<int> sibs;
-  sibs.reserve(64);
-  for (int d = 0; d < 2 * ne; ++d) {
-    int e = d / 2;
-    int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
-    if (tail < t->n_leaves) continue;  // tail must be internal to prune
-    std::array<int, 2> tail_edges{-1, -1};
-    int k = 0;
-    for (int e2 : t->adj[tail])
-      if (e2 != e) tail_edges[k++] = e2;
-    int d_ta = away(*t, tail_edges[0], tail);
-    int d_tb = away(*t, tail_edges[1], tail);
-    // cost of re-inserting at the merged edge (= current position)
-    double base =
-        0.5 * (T.at(d, d_ta) + T.at(d, d_tb) - T.at(d_ta, d_tb));
-    for (int side = 0; side < 2; ++side) {
-      int d_in = side == 0 ? d_ta : d_tb;   // cone entered
-      int d_r0 = side == 0 ? d_tb : d_ta;   // far side of the merged edge
-      int ta = T.head(d_in);
-      if (ta < t->n_leaves) continue;
-      std::array<int, 2> cone{-1, -1};
-      int c = 0;
-      for (int e2 : t->adj[ta])
-        if (e2 != tail_edges[side]) cone[c++] = e2;
-      for (int i = 0; i < 2; ++i) {
-        int down = away(*t, cone[i], ta);
-        int sib = away(*t, cone[1 - i], ta);
-        sibs.clear();
-        sibs.push_back(d_r0);
-        sibs.push_back(sib);
-        double sA = 0.5 * T.at(d, sib) + 0.5 * T.at(d, d_r0);
-        spr_walk(*t, T, d, down, sA, &sibs, base, &best,
-                 batch ? &moves : nullptr, eps);
+  // Scan one range of prune directions; thread-confined outputs.  The scan
+  // only READS tree structure and version/dirt arrays — at() fills are the
+  // sole shared mutation and are made safe by the cell atomics.
+  auto scan_range = [&](int d_lo, int d_hi, SprBest* rbest,
+                        std::vector<SprMove>* rmoves) {
+    std::vector<int> sibs;
+    sibs.reserve(64);
+    for (int d = d_lo; d < d_hi; ++d) {
+      int e = d / 2;
+      int tail = d % 2 == 0 ? t->edges[e].u : t->edges[e].v;
+      if (tail < t->n_leaves) continue;  // tail must be internal to prune
+      std::array<int, 2> tail_edges{-1, -1};
+      int k = 0;
+      for (int e2 : t->adj[tail])
+        if (e2 != e) tail_edges[k++] = e2;
+      int d_ta = away(*t, tail_edges[0], tail);
+      int d_tb = away(*t, tail_edges[1], tail);
+      // cost of re-inserting at the merged edge (= current position)
+      double base =
+          0.5 * (T.at(d, d_ta) + T.at(d, d_tb) - T.at(d_ta, d_tb));
+      bool base_dirty = T.dirty(d) || T.dirty(d_ta) || T.dirty(d_tb);
+      for (int side = 0; side < 2; ++side) {
+        int d_in = side == 0 ? d_ta : d_tb;   // cone entered
+        int d_r0 = side == 0 ? d_tb : d_ta;   // far side of the merged edge
+        int ta = T.head(d_in);
+        if (ta < t->n_leaves) continue;
+        std::array<int, 2> cone{-1, -1};
+        int c = 0;
+        for (int e2 : t->adj[ta])
+          if (e2 != tail_edges[side]) cone[c++] = e2;
+        for (int i = 0; i < 2; ++i) {
+          int down = away(*t, cone[i], ta);
+          int sib = away(*t, cone[1 - i], ta);
+          sibs.clear();
+          sibs.push_back(d_r0);
+          sibs.push_back(sib);
+          double sA = 0.5 * T.at(d, sib) + 0.5 * T.at(d, d_r0);
+          spr_walk(*t, T, d, down, sA, &sibs, base, rbest,
+                   batch ? rmoves : nullptr, eps,
+                   base_dirty || T.dirty(sib));
+        }
       }
     }
+  };
+  int n_threads = 1;
+  if (batch) {  // single-move mode keeps the reference visiting order exact
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = std::max(1, std::min<int>(hw ? hw : 1, 16));
+    if (const char* env = std::getenv("PFTREE_THREADS"))
+      n_threads = std::max(1, atoi(env));
   }
+  if (n_threads <= 1) {
+    scan_range(0, 2 * ne, &best, &moves);
+  } else {
+    std::vector<SprBest> bests(n_threads, SprBest{eps});
+    std::vector<std::vector<SprMove>> mvs(n_threads);
+    std::vector<std::thread> pool;
+    int chunk = (2 * ne + n_threads - 1) / n_threads;
+    for (int ti = 0; ti < n_threads; ++ti)
+      pool.emplace_back(scan_range, ti * chunk,
+                        std::min(2 * ne, (ti + 1) * chunk), &bests[ti],
+                        &mvs[ti]);
+    for (auto& th : pool) th.join();
+    for (int ti = 0; ti < n_threads; ++ti) {
+      if (bests[ti].gain > best.gain) best = bests[ti];
+      moves.insert(moves.end(), mvs[ti].begin(), mvs[ti].end());
+    }
+  }
+
+  // The scan above read every delta it used under the current versions;
+  // snapshot them so the next batched scan can skip cones no applied move
+  // (or interleaved NNI) touches.  Single-move mode never snapshots: its
+  // next sweep must re-find the improving moves it did not apply.
+  if (batch) T.snapshot_versions();
 
   if (best.prune_dir < 0) return false;
 
@@ -1158,8 +1353,20 @@ bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok,
     return true;
   }
 
+  // Deterministic total order (gain desc, then ids): the merged move set is
+  // identical for any thread count, so the applied sequence — and the final
+  // tree — does not depend on PFTREE_THREADS.
   std::sort(moves.begin(), moves.end(),
-            [](const SprMove& a, const SprMove& b) { return a.gain > b.gain; });
+            [](const SprMove& a, const SprMove& b) {
+              if (a.gain != b.gain) return a.gain > b.gain;
+              if (a.prune_dir != b.prune_dir) return a.prune_dir < b.prune_dir;
+              return a.target_edge < b.target_edge;
+            });
+  double t_apply0 = 0;
+  if (debug)
+    t_apply0 = std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+                   .count();
   int applied = 0;
   for (const SprMove& m : moves) {
     bool valid = false;
@@ -1167,6 +1374,16 @@ bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok,
     if (!valid || gain <= eps) continue;
     apply_spr_move(t, cache, m.prune_dir, m.target_edge);
     ++applied;
+  }
+  if (debug) {
+    double t_end = std::chrono::duration<double>(
+                       std::chrono::steady_clock::now().time_since_epoch())
+                       .count();
+    fprintf(stderr,
+            "[pftree]   spr round: dirty %d/%d scan %.2fs apply %.2fs "
+            "(%d recorded, %d applied)\n",
+            n_dirty, 2 * ne, t_apply0 - t_scan0, t_end - t_apply0,
+            static_cast<int>(moves.size()), applied);
   }
   return applied > 0;
 }
@@ -1421,13 +1638,28 @@ Tree build_tree(const DistMatrix& dm, const std::string& method, bool nni,
     int guard = 0;
     double t_nni = 0, t_spr = 0;
     int nni_moves = 0, spr_rounds = 0;
+    // Batched NNI above the same size threshold as batched SPR (and under
+    // the same env overrides): one scan per round instead of one per move.
+    bool nni_batch = dm.n >= 128 && cache.usable() &&
+                     std::getenv("PFTREE_SLOW_NNI") == nullptr;
+    if (const char* env = std::getenv("PFTREE_NNI_BATCH"))
+      nni_batch = cache.usable() && env[0] == '1';
     while (moved && guard < 200 * dm.n) {
       moved = false;
       if (nni) {
         double s = now();
-        while (bnni_step(dm, &t, &cache) && ++guard < 200 * dm.n) {
-          moved = true;
-          ++nni_moves;
+        if (nni_batch) {
+          int k;
+          while ((k = bnni_round_batch(&t, &cache)) > 0 &&
+                 (guard += k) < 200 * dm.n) {
+            moved = true;
+            nni_moves += k;
+          }
+        } else {
+          while (bnni_step(dm, &t, &cache) && ++guard < 200 * dm.n) {
+            moved = true;
+            ++nni_moves;
+          }
         }
         t_nni += now() - s;
       }

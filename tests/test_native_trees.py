@@ -117,6 +117,51 @@ def test_batched_spr_quality_matches_one_move(tmp_path):
     assert lengths["batched"] <= lengths["one_move"] * 1.005
 
 
+def test_batched_nni_quality_and_thread_determinism(tmp_path):
+    """Batched NNI (one scan per round, verified best-first applies) must
+    match one-move-per-scan quality, and the threaded batched-SPR scan must
+    produce the IDENTICAL tree for any PFTREE_THREADS (the merged move set
+    and its deterministic ordering are thread-count independent)."""
+    import os
+    import subprocess
+
+    from phyloformer_tpu.data.phylip import matrix_to_phylip as _to_phylip
+    from phyloformer_tpu.trees.native import pauplin_length
+
+    n = 160
+    rng = np.random.default_rng(23)
+    true = _random_tree(rng, n)
+    ids = sorted(true.leaf_names())
+    dm, _ = patristic_matrix(true, ids)
+    noise = rng.normal(0, 0.05, dm.shape)
+    noise = (noise + noise.T) / 2
+    np.fill_diagonal(noise, 0)
+    phy = _to_phylip(np.abs(dm + noise), ids)
+    mat = tmp_path / "m.phy"
+    mat.write_text(phy)
+
+    build = Path(native.__file__).resolve().parent.parent.parent / "native" / "build"
+
+    def run(tag, env_extra):
+        out = tmp_path / f"{tag}.nwk"
+        r = subprocess.run(
+            [str(build / "pf-fastme"), "-i", str(mat), "-o", str(out),
+             "--nni", "--spr"],
+            capture_output=True, text=True, timeout=300,
+            env=dict(os.environ, **env_extra),
+        )
+        assert r.returncode == 0, r.stderr
+        return out.read_text()
+
+    batched = run("nni_batched", {"PFTREE_NNI_BATCH": "1"})
+    one_move = run("nni_one_move", {"PFTREE_NNI_BATCH": "0"})
+    assert pauplin_length(phy, batched) <= pauplin_length(phy, one_move) * 1.005
+
+    t1 = run("threads1", {"PFTREE_THREADS": "1"})
+    t4 = run("threads4", {"PFTREE_THREADS": "4"})
+    assert t1 == t4
+
+
 def test_nni_spr_improve_pauplin_length():
     """BME + NNI + SPR must not be worse (balanced length) than NJ or plain
     BME on noisy matrices."""
