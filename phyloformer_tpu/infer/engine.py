@@ -23,7 +23,11 @@ from ..models.params import Params, PhyloformerConfig
 from ..models.phyloformer import forward
 
 DEFAULT_N_BUCKETS = (10, 20, 30, 40, 50, 60, 80, 100, 120, 150, 200)
-DEFAULT_L_BUCKETS = (128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048)
+# Beyond 2048 sites the fused path switches to the two-pass L-tiled kernels
+# (no site cap); alignments longer than the last bucket still work via the
+# allow_oversize exact-shape fallback.
+DEFAULT_L_BUCKETS = (128, 256, 384, 512, 640, 768, 1024, 1280, 1536, 2048,
+                     3072, 4096)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -209,19 +209,19 @@ def forward_fused(
     (:mod:`phyloformer_tpu.ops.pallas`). Same numerics as :func:`forward`
     in deterministic mode; ~4 HBM passes per block instead of ~15.
 
-    The row kernel keeps the full site axis resident in VMEM; long
-    alignments shrink the pair tile instead of falling over (the tile is a
-    leading block dim, unconstrained by TPU tiling — round 1's L<=640 cap
-    came from a needless pt>=8 clamp).  Verified compiling and matching the
-    XLA path at L=2048 on the dev chip; beyond ``PF_PALLAS_MAX_SITES``
-    (default 2048) this still falls back to the canonical XLA forward
-    rather than risk a scoped-VMEM compile failure."""
+    There is no site cap: up to L=2048 the row kernel keeps the full site
+    axis resident in VMEM (long alignments shrink the pair tile — a leading,
+    tiling-unconstrained block dim); beyond that the two-pass L-tiled
+    kernels take over (row sums accumulated across site tiles, the same
+    running-sum trick the pair axis uses — :mod:`.ops.pallas.axial_block`).
+    Setting ``PF_PALLAS_MAX_SITES`` > 0 restores the XLA fallback above
+    that length (escape hatch)."""
     import os as _os
 
     from ..ops.pallas import fused_axial_block
 
-    max_sites = int(_os.environ.get("PF_PALLAS_MAX_SITES", "2048"))
-    if codes.shape[2] > max_sites and not interpret:
+    max_sites = int(_os.environ.get("PF_PALLAS_MAX_SITES", "0"))
+    if max_sites > 0 and codes.shape[2] > max_sites and not interpret:
         return forward(params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask)
 
     b, n_seqs, seq_len = codes.shape

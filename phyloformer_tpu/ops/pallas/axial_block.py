@@ -203,6 +203,106 @@ def _kernel_b(
     x3_ref[0] = x2 + mm(f, fw2_ref[:], fb2_ref[:])
 
 
+def _kernel_a1(
+    # L-tiled pass 1: accumulate the row-attention sums over site tiles.
+    x_ref, site_mask_ref,
+    rn_s_ref, rn_b_ref, rwq_ref, rbq_ref, rwk_ref, rbk_ref,
+    rwv_ref, rbv_ref,
+    rowstats_ref,
+    *, n_heads: int, eps: float, prec, interpret: bool,
+):
+    def mm(a, w, b):
+        return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
+                       preferred_element_type=jnp.float32).reshape(
+                           a.shape[:-1] + (w.shape[-1],)) + b
+    li = pl.program_id(2)
+    x = x_ref[0]  # (Pt, Lt, d)
+    d = x.shape[-1]
+    hd = d // n_heads
+    smask = site_mask_ref[0].astype(x.dtype)  # (Lt, 1)
+
+    h = _ln(x, rn_s_ref[:], rn_b_ref[:], eps)
+    q = _expand_heads(_phi(mm(h, rwq_ref[:], rbq_ref[:])), hd, interpret, prec)
+    k = _expand_heads(_phi(mm(h, rwk_ref[:], rbk_ref[:])), hd, interpret, prec)
+    q = q * smask[None, :, :]
+    k = k * smask[None, :, :]
+    v = mm(h, rwv_ref[:], rbv_ref[:])
+
+    part = jnp.concatenate(
+        [jnp.sum(q, axis=1), jnp.sum(k, axis=1), jnp.sum(k * v, axis=1)],
+        axis=-1,
+    )  # (Pt, 3d): Σ_L q, Σ_L k, Σ_L k·v for this site tile
+
+    @pl.when(li == 0)
+    def _init():
+        rowstats_ref[0] = part
+
+    @pl.when(li > 0)
+    def _acc():
+        rowstats_ref[0] += part
+
+
+def _kernel_a2(
+    # L-tiled pass 2: finalize row attention from the global row sums, emit
+    # x1, and accumulate the column stats over pair tiles.
+    x_ref, rowstats_ref, site_mask_ref, pair_mask_ref, site_count_ref,
+    rn_s_ref, rn_b_ref, rwq_ref, rbq_ref, rwo_ref, rbo_ref,
+    cn_s_ref, cn_b_ref, cwq_ref, cbq_ref, cwk_ref, cbk_ref,
+    cwv_ref, cbv_ref,
+    x1_ref, stats_ref,
+    *, n_heads: int, eps: float, prec, interpret: bool,
+):
+    def mm(a, w, b):
+        return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
+                       preferred_element_type=jnp.float32).reshape(
+                           a.shape[:-1] + (w.shape[-1],)) + b
+    pi = pl.program_id(2)
+    x = x_ref[0]  # (Pt, Lt, d)
+    d = x.shape[-1]
+    hd = d // n_heads
+    smask = site_mask_ref[0].astype(x.dtype)  # (Lt, 1)
+    pmask = pair_mask_ref[0].astype(x.dtype)  # (Pt, 1, 1)
+    rowstats = rowstats_ref[0]  # (Pt, 3d)
+
+    h = _ln(x, rn_s_ref[:], rn_b_ref[:], eps)
+    q = _expand_heads(_phi(mm(h, rwq_ref[:], rbq_ref[:])), hd, interpret, prec)
+    q = q * smask[None, :, :]
+
+    count = jnp.maximum(site_count_ref[pl.program_id(0), 0], 1.0)
+    # slice 2-D first, broadcast after — Mosaic cannot lower a combined
+    # None+slice index (it becomes a gather)
+    q_mean = rowstats[:, :d] / count  # (Pt, d)
+    k_sum = rowstats[:, d : 2 * d]
+    kv = rowstats[:, 2 * d :]
+    q_mean = jnp.where(q_mean > 0, q_mean, 1.0)
+    k_sum = jnp.where(k_sum > 0, k_sum, 1.0)
+    ctx = kv / k_sum  # (Pt, d)
+
+    attn = (q / q_mean[:, None, :]) * ctx[:, None, :]  # (Pt, Lt, d)
+    x1 = x + mm(attn, rwo_ref[:], rbo_ref[:])
+    x1_ref[0] = x1
+
+    hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
+    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret, prec)
+    kc = _expand_heads(_phi(mm(hc, cwk_ref[:], cbk_ref[:])), hd, interpret, prec)
+    qc = qc * pmask
+    kc = kc * pmask
+    vc = mm(hc, cwv_ref[:], cbv_ref[:])
+
+    part = jnp.concatenate(
+        [jnp.sum(kc, axis=0), jnp.sum(qc, axis=0), jnp.sum(kc * vc, axis=0)],
+        axis=-1,
+    )  # (Lt, 3d)
+
+    @pl.when(pi == 0)
+    def _init():
+        stats_ref[0] = part
+
+    @pl.when(pi > 0)
+    def _acc():
+        stats_ref[0] += part
+
+
 def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 8 * 1024 * 1024) -> int:
     """Pair-tile size: keep the live tile tensors under a VMEM budget.
 
@@ -287,6 +387,10 @@ def _fused_block_impl(
         else jax.lax.Precision.DEFAULT
     )
     b, p, l, d = x.shape
+    if l > _RESIDENT_SITES_MAX:
+        return _fused_block_ltiled_impl(
+            x, layer, site_mask, pair_mask, n_heads, eps, interpret, prec
+        )
     pt = _pick_tile(p, l, d)
     # pad the pair axis to a tile multiple (mask guarantees no-op padding)
     p_pad = -(-p // pt) * pt
@@ -367,6 +471,146 @@ def _fused_block_impl(
     if p_pad != p:
         x3 = x3[:, :p]
         x1 = x1[:, :p]
+    return x3, x1, stats
+
+
+# Longest site axis the single-pass kernel A keeps fully VMEM-resident
+# (verified compiling + winning at L=2048 on the dev chip).  Beyond it the
+# two-pass L-tiled kernels below take over instead of falling back to XLA.
+_RESIDENT_SITES_MAX = 2048
+
+# L-tile of the two-pass path; pt*lt stays within the verified 4096
+# row-unit footprint ceiling (see _pick_tile).
+_LTILE = 256
+
+
+def _fused_block_ltiled_impl(x, layer, site_mask, pair_mask, n_heads, eps,
+                             interpret, prec):
+    """Two-pass L-tiled fused block for site axes beyond VMEM residency.
+
+    Removes the site cap entirely: kernel A's single pass over a resident
+    site axis becomes A1 (row sums Σq/Σk/Σk·v accumulated across site
+    tiles; grid b × P-tiles × L-tiles, site innermost) and A2 (row
+    attention finalized from the global sums — the running-sum trick the
+    pair axis already uses — emitting x1 and accumulating the column stats
+    across pair tiles; grid b × L-tiles × P-tiles, pair innermost).
+    Kernel B is per-site local and just gains the L grid dimension.  Costs
+    one extra read of x vs the resident path, so the resident kernels keep
+    serving L <= _RESIDENT_SITES_MAX.
+    """
+    b, p, l, d = x.shape
+    lt = min(_LTILE, l)
+    l_pad = -(-l // lt) * lt
+    # 2048 row-units (vs the resident path's 4096): the two-pass kernels
+    # carry one extra live tile (rowstats + recomputed projections), and
+    # 16.07 MiB > the 16 MiB scope at 4096 units (measured compile failure)
+    pt = max(1, min(p, 2048 // lt))
+    if pt >= 8:
+        pt = (pt // 8) * 8
+    p_pad = -(-p // pt) * pt
+    if p_pad != p or l_pad != l:
+        x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, l_pad - l), (0, 0)))
+        pair_mask = jnp.pad(pair_mask, ((0, 0), (0, p_pad - p)))
+        site_mask = jnp.pad(site_mask, ((0, 0), (0, l_pad - l)))
+    n_pt = p_pad // pt
+    n_lt = l_pad // lt
+
+    la = layer["row_attn"]
+    ca = layer["col_attn"]
+    ffn = layer["ffn"]
+    site_mask3 = site_mask[:, :, None].astype(jnp.float32)  # (B, L, 1)
+    pair_mask4 = pair_mask[:, :, None, None].astype(jnp.float32)  # (B,P,1,1)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    # ---- pass 1: row sums, site tiles innermost ----
+    a1_params = [
+        layer["row_norm"]["scale"], layer["row_norm"]["bias"],
+        la["wq"], la["bq"], la["wk"], la["bk"], la["wv"], la["bv"],
+    ]
+    rowstats = pl.pallas_call(
+        functools.partial(_kernel_a1, n_heads=n_heads, eps=eps, prec=prec,
+                          interpret=interpret),
+        grid=(b, n_pt, n_lt),
+        in_specs=[
+            pl.BlockSpec((1, pt, lt, d), lambda bi, pi, li: (bi, pi, li, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, 1), lambda bi, pi, li: (bi, li, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [full] * len(a1_params),
+        out_specs=pl.BlockSpec((1, pt, 3 * d), lambda bi, pi, li: (bi, pi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, 3 * d), jnp.float32),
+        interpret=interpret,
+    )(x, site_mask3, *a1_params)
+
+    # ---- pass 2: finalize rows, emit x1, column sums (pairs innermost) ----
+    site_count = jnp.sum(site_mask.astype(jnp.float32), axis=1)[:, None]
+    a2_params = [
+        layer["row_norm"]["scale"], layer["row_norm"]["bias"],
+        la["wq"], la["bq"], la["wo"], la["bo"],
+        layer["col_norm"]["scale"], layer["col_norm"]["bias"],
+        ca["wq"], ca["bq"], ca["wk"], ca["bk"], ca["wv"], ca["bv"],
+    ]
+    x1, stats = pl.pallas_call(
+        functools.partial(_kernel_a2, n_heads=n_heads, eps=eps, prec=prec,
+                          interpret=interpret),
+        grid=(b, n_lt, n_pt),
+        in_specs=[
+            pl.BlockSpec((1, pt, lt, d), lambda bi, li, pi: (bi, pi, li, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pt, 3 * d), lambda bi, li, pi: (bi, pi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, 1), lambda bi, li, pi: (bi, li, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pt, 1, 1), lambda bi, li, pi: (bi, pi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem,
+        ] + [full] * len(a2_params),
+        out_specs=(
+            pl.BlockSpec((1, pt, lt, d), lambda bi, li, pi: (bi, pi, li, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, 3 * d), lambda bi, li, pi: (bi, li, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, p_pad, l_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, 3 * d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, rowstats, site_mask3, pair_mask4, site_count, *a2_params)
+
+    # ---- kernel B, L-tiled (per-site local; unchanged math) ----
+    pair_count = jnp.sum(pair_mask.astype(jnp.float32), axis=1)[:, None]
+    b_params = [
+        layer["col_norm"]["scale"], layer["col_norm"]["bias"],
+        ca["wq"], ca["bq"], ca["wo"], ca["bo"],
+        layer["ffn_norm"]["scale"], layer["ffn_norm"]["bias"],
+        ffn["w1"], ffn["b1"], ffn["w2"], ffn["b2"],
+    ]
+    x3 = pl.pallas_call(
+        functools.partial(_kernel_b, n_heads=n_heads, eps=eps, prec=prec,
+                          interpret=interpret),
+        grid=(b, n_pt, n_lt),
+        in_specs=[
+            pl.BlockSpec((1, pt, lt, d), lambda bi, pi, li: (bi, pi, li, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, 3 * d), lambda bi, pi, li: (bi, li, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pt, 1, 1), lambda bi, pi, li: (bi, pi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem,
+        ] + [full] * len(b_params),
+        out_specs=pl.BlockSpec((1, pt, lt, d), lambda bi, pi, li: (bi, pi, li, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, l_pad, d), x.dtype),
+        interpret=interpret,
+    )(x1, stats, pair_mask4, pair_count, *b_params)
+
+    if p_pad != p or l_pad != l:
+        x3 = x3[:, :p, :l]
+        x1 = x1[:, :p, :l]
+        stats = stats[:, :l]
     return x3, x1, stats
 
 

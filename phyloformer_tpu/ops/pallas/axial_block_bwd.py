@@ -29,9 +29,11 @@ including the zero-sum guards (``where(s > 0, s, 1)`` passes gradient only
 where the raw sum was positive); validated against ``jax.vjp`` of the
 canonical block in ``tests/test_pallas_kernels.py``.
 
-Like forward kernel A, kernel E holds the full site axis per pair tile in
-VMEM, so the ``PF_PALLAS_MAX_SITES`` cap applies to training too (the
-training wrapper falls back to the remat VJP beyond it).
+Kernel E holds the full site axis per pair tile in VMEM, so training keeps
+a site cap (``PF_PALLAS_TRAIN_MAX_SITES``, default 1024; the training
+wrapper falls back to the canonical XLA path beyond it).  The inference
+forward has no cap — beyond residency it switches to the two-pass L-tiled
+kernels in :mod:`.axial_block`.
 """
 
 from __future__ import annotations

@@ -107,9 +107,11 @@ def _forward_pallas_ad(params, batch, cfg):
     VJP, :mod:`phyloformer_tpu.ops.pallas.axial_block_bwd`).
 
     ``PF_PALLAS_BWD=remat`` selects the round-1 remat backward (canonical
-    XLA re-trace) instead; beyond ``PF_PALLAS_MAX_SITES`` (the fused
-    kernels' VMEM-resident site-axis cap) this falls back to the canonical
-    XLA forward entirely, mirroring ``forward_fused``."""
+    XLA re-trace) instead; beyond ``PF_PALLAS_TRAIN_MAX_SITES`` (the
+    backward row kernel's VMEM-resident site-axis cap) this falls back to
+    the canonical XLA forward entirely.  (Inference has no such cap — its
+    forward L-tiles beyond residency; the backward kernel E still holds the
+    site axis resident.)"""
     import os
 
     from ..models.phyloformer import build_pairs, embed_alignment, forward
@@ -123,7 +125,7 @@ def _forward_pallas_ad(params, batch, cfg):
     interpret = jax.default_backend() != "tpu"  # compiled Pallas is TPU-only
     # fused-training cap: L=1024 verified compiling + running on the dev
     # chip (row-backward kernel at pt=1); the XLA path takes over beyond
-    max_sites = int(os.environ.get("PF_PALLAS_MAX_SITES", "1024"))
+    max_sites = int(os.environ.get("PF_PALLAS_TRAIN_MAX_SITES", "1024"))
     if seq_len > max_sites and not interpret:
         return forward(
             params, codes, cfg,
@@ -190,7 +192,7 @@ def make_train_step(
     def compute_loss_and_grads(params, batch, dropout_key):
         import os
 
-        max_sites = int(os.environ.get("PF_PALLAS_MAX_SITES", "1024"))
+        max_sites = int(os.environ.get("PF_PALLAS_TRAIN_MAX_SITES", "1024"))
         if sharded_fused and batch["codes"].shape[2] <= max_sites:
             from ..ops.pallas.sharded import sharded_fused_loss_and_grads
 
