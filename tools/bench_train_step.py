@@ -22,7 +22,7 @@ from phyloformer_tpu.data.pairs import n_pairs  # noqa: E402
 from phyloformer_tpu.models import PhyloformerConfig  # noqa: E402
 from phyloformer_tpu.train import TrainConfig, create_train_state, make_train_step  # noqa: E402
 
-B, N, L = 4, 50, 256
+B, N, L = int(os.environ.get("PF_BENCH_B", "4")), 50, 256
 cfg = PhyloformerConfig(matmul_precision="default")
 rng = np.random.default_rng(0)
 batch = {
