@@ -387,7 +387,12 @@ def _fused_block_impl(
         else jax.lax.Precision.DEFAULT
     )
     b, p, l, d = x.shape
-    if l > _RESIDENT_SITES_MAX:
+    resident_max = (
+        _RESIDENT_SITES_MAX_HI
+        if prec == jax.lax.Precision.HIGHEST
+        else _RESIDENT_SITES_MAX
+    )
+    if l > resident_max:
         return _fused_block_ltiled_impl(
             x, layer, site_mask, pair_mask, n_heads, eps, interpret, prec
         )
@@ -475,9 +480,13 @@ def _fused_block_impl(
 
 
 # Longest site axis the single-pass kernel A keeps fully VMEM-resident
-# (verified compiling + winning at L=2048 on the dev chip).  Beyond it the
+# (verified compiling + winning at L=2048 on the dev chip in DEFAULT/tf32
+# mode).  HIGHEST-precision (3-pass fp32) matmuls materialize extra
+# temporaries — kernel A measured 18.5 MiB at L=1536 under HIGHEST — so
+# parity mode hands over to the L-tiled kernels earlier.  Beyond these the
 # two-pass L-tiled kernels below take over instead of falling back to XLA.
 _RESIDENT_SITES_MAX = 2048
+_RESIDENT_SITES_MAX_HI = 1024
 
 # L-tile of the two-pass path; pt*lt stays within the verified 4096
 # row-unit footprint ceiling (see _pick_tile).

@@ -50,6 +50,11 @@ from .axial_block import _erf, _expand_heads, _phi
 
 _INV_SQRT2PI = 0.3989422804014327
 
+# Longest site axis kernel E keeps VMEM-resident per pair tile (verified
+# compiling at pt=1 on the dev chip); beyond it the L-tiled E1/E2 pair
+# takes over, removing the training site cap.
+_BWD_RESIDENT_SITES_MAX = 1024
+
 
 def _gelu_grad(u):
     # d/du [u * Phi(u)] = Phi(u) + u * pdf(u); exact-gelu derivative with the
@@ -465,6 +470,169 @@ def _kernel_e(
 
 
 # ---------------------------------------------------------------------------
+# Kernels E1/E2: L-tiled row backward (site axes beyond VMEM residency)
+# ---------------------------------------------------------------------------
+#
+# The row backward's only cross-site couplings are per-pair sums: the
+# forward's Σq/Σk/Σk·v and the backward's d_ctx and d_qm reductions — and the
+# latter two both factor through Σ_L (d_attn ⊙ q) because ctx and qm are
+# per-pair constants (d_ctx = Σ d_attn⊙qn = Σ(d_attn⊙q)/qm;
+# Σ d_qn_e⊙q_e = ctx ⊙ Σ(d_attn⊙q)).  So kernel E splits exactly like the
+# forward's A1/A2: E1 accumulates the four per-pair d-vectors across site
+# tiles; E2 recomputes the in-tile projections, finalizes every per-site
+# gradient from the global sums, and emits gx + the weight gradients.
+
+def _kernel_e1(
+    x_ref, g1_ref, site_mask_ref,
+    rn_s_ref, rn_b_ref, rwq_ref, rbq_ref, rwk_ref, rbk_ref,
+    rwv_ref, rbv_ref, rwo_t_ref,
+    rowsums_ref,
+    *, n_heads: int, eps: float, prec, interpret: bool,
+):
+    li = pl.program_id(2)
+    x = x_ref[0]  # (Pt, Lt, d)
+    g1 = g1_ref[0]
+    d = x.shape[-1]
+    hd = d // n_heads
+    smask = site_mask_ref[0].astype(x.dtype)  # (Lt, 1)
+
+    h = _ln_fwd(x, rn_s_ref[:], rn_b_ref[:], eps)[0]
+    q_e = _expand_heads(_phi(_mm(h, rwq_ref[:], prec, rbq_ref[:])), hd,
+                        interpret, prec) * smask[None, :, :]
+    k_e = _expand_heads(_phi(_mm(h, rwk_ref[:], prec, rbk_ref[:])), hd,
+                        interpret, prec) * smask[None, :, :]
+    v = _mm(h, rwv_ref[:], prec, rbv_ref[:])
+    d_attn_r = _mm(g1, rwo_t_ref[:], prec)
+
+    part = jnp.concatenate(
+        [
+            jnp.sum(q_e, axis=1, keepdims=True),
+            jnp.sum(k_e, axis=1, keepdims=True),
+            jnp.sum(k_e * v, axis=1, keepdims=True),
+            jnp.sum(d_attn_r * q_e, axis=1, keepdims=True),
+        ],
+        axis=-1,
+    )  # (Pt, 1, 4d) — kept 4-D overall so the pair tile is a leading
+    # (tiling-unconstrained) block dim even when it drops below 8
+
+    @pl.when(li == 0)
+    def _init():
+        rowsums_ref[0] = part
+
+    @pl.when(li > 0)
+    def _acc():
+        rowsums_ref[0] += part
+
+
+def _kernel_e2(
+    x_ref, g1_ref, rowsums_ref, site_mask_ref, site_count_ref,
+    rn_s_ref, rn_b_ref, rwq_ref, rbq_ref, rwq_t_ref, rwk_ref, rbk_ref,
+    rwk_t_ref, rwv_ref, rbv_ref, rwv_t_ref, rwo_t_ref,
+    gx_ref,
+    drn_s_ref, drn_b_ref, drwq_ref, drbq_ref, drwk_ref, drbk_ref,
+    drwv_ref, drbv_ref, drwo_ref, drbo_ref,
+    *, n_heads: int, eps: float, prec, interpret: bool,
+):
+    x = x_ref[0]  # (Pt, Lt, d)
+    g1 = g1_ref[0]
+    d = x.shape[-1]
+    hd = d // n_heads
+    smask = site_mask_ref[0].astype(x.dtype)  # (Lt, 1)
+
+    def expand(t):
+        return _expand_heads(t, hd, interpret, prec)
+
+    def contract(t):
+        return _contract_heads(t, n_heads, interpret, prec)
+
+    h, xhat_r, r_r = _ln_fwd(x, rn_s_ref[:], rn_b_ref[:], eps)
+    zq_H = _mm(h, rwq_ref[:], prec, rbq_ref[:])
+    zk_H = _mm(h, rwk_ref[:], prec, rbk_ref[:])
+    q_e = expand(_phi(zq_H)) * smask[None, :, :]
+    k_e = expand(_phi(zk_H)) * smask[None, :, :]
+    v = _mm(h, rwv_ref[:], prec, rbv_ref[:])
+    d_attn_r = _mm(g1, rwo_t_ref[:], prec)
+
+    count = jnp.maximum(site_count_ref[pl.program_id(0), 0], 1.0)
+    rs = rowsums_ref[0][:, 0, :]  # (Pt, 4d)
+    sq_raw = rs[:, :d] / count  # q-mean, raw
+    sk_raw = rs[:, d : 2 * d]
+    skv = rs[:, 2 * d : 3 * d]
+    sdq = rs[:, 3 * d :]  # Σ_L d_attn ⊙ q_e
+    qm_r = jnp.where(sq_raw > 0, sq_raw, 1.0)  # (Pt, d)
+    sk_r = jnp.where(sk_raw > 0, sk_raw, 1.0)
+    ctx_r = skv / sk_r
+
+    d_ctx = sdq / qm_r  # = Σ_L d_attn ⊙ qn
+    d_skv_r = d_ctx / sk_r
+    sk_rH = contract(sk_r) / hd  # (Pt, H)
+    d_sk_rH = -contract(d_ctx * ctx_r) / sk_rH
+    d_sk_rH = d_sk_rH * (contract(sk_raw) > 0)
+    qm_rH = contract(qm_r) / hd
+    d_qm_rH = -contract(ctx_r * sdq) / (qm_rH * qm_rH)
+    d_qm_rH = d_qm_rH * (contract(sq_raw) > 0)
+    d_sq_rH = d_qm_rH / count
+
+    d_qn_e = d_attn_r * ctx_r[:, None, :]  # (Pt, Lt, d)
+    d_q_H = contract(d_qn_e) / qm_rH[:, None, :] + d_sq_rH[:, None, :]
+    d_zq_H = d_q_H * _phi_grad(zq_H) * smask[None, :, :1]
+    d_k_H = d_sk_rH[:, None, :] + contract(d_skv_r[:, None, :] * v)
+    d_zk_H = d_k_H * _phi_grad(zk_H) * smask[None, :, :1]
+    d_v = d_skv_r[:, None, :] * k_e
+
+    d_h = (
+        _mm(d_zq_H, rwq_t_ref[:], prec)
+        + _mm(d_zk_H, rwk_t_ref[:], prec)
+        + _mm(d_v, rwv_t_ref[:], prec)
+    )
+    d_x_ln, drs, drb = _ln_bwd(d_h, xhat_r, r_r, rn_s_ref[:])
+    gx_ref[0] = g1 + d_x_ln
+
+    attn_r = (q_e / qm_r[:, None, :]) * ctx_r[:, None, :]
+    hf_ = h.reshape(-1, d)
+    g1f = g1.reshape(-1, d)
+    drwq = _mm_at(hf_, d_zq_H.reshape(-1, n_heads), prec)
+    drbq = jnp.sum(d_zq_H.reshape(-1, n_heads), axis=0, keepdims=True)
+    drwk = _mm_at(hf_, d_zk_H.reshape(-1, n_heads), prec)
+    drbk = jnp.sum(d_zk_H.reshape(-1, n_heads), axis=0, keepdims=True)
+    drwv = _mm_at(hf_, d_v.reshape(-1, d), prec)
+    drbv = jnp.sum(d_v.reshape(-1, d), axis=0, keepdims=True)
+    drwo = _mm_at(attn_r.reshape(-1, d), g1f, prec)
+    drbo = jnp.sum(g1f, axis=0, keepdims=True)
+
+    first = jnp.logical_and(
+        jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+        pl.program_id(2) == 0,
+    )
+
+    @pl.when(first)
+    def _init_w():
+        drn_s_ref[:] = drs
+        drn_b_ref[:] = drb
+        drwq_ref[:] = drwq
+        drbq_ref[:] = drbq
+        drwk_ref[:] = drwk
+        drbk_ref[:] = drbk
+        drwv_ref[:] = drwv
+        drbv_ref[:] = drbv
+        drwo_ref[:] = drwo
+        drbo_ref[:] = drbo
+
+    @pl.when(jnp.logical_not(first))
+    def _acc_w():
+        drn_s_ref[:] += drs
+        drn_b_ref[:] += drb
+        drwq_ref[:] += drwq
+        drbq_ref[:] += drbq
+        drwk_ref[:] += drwk
+        drbk_ref[:] += drbk
+        drwv_ref[:] += drwv
+        drbv_ref[:] += drbv
+        drwo_ref[:] += drwo
+        drbo_ref[:] += drbo
+
+
+# ---------------------------------------------------------------------------
 # Host wrapper
 # ---------------------------------------------------------------------------
 
@@ -569,9 +737,14 @@ def fused_axial_block_bwd(
                           budget_bytes=(2 if hi else 4) * 1024 * 1024)
     # Row backward: ~2.1 MB/row measured at L=256 (16.68 MB at pt=8), so an
     # 8 MiB target inside the 16 MiB scope picks pt=4 at L=256, 2 at L=512,
-    # 1 at L=1024 (pt=2 there measured over the scope).
-    pt_e = _pick_tile_bwd(p, l, d, live_rows=28, floor=1,
-                          budget_bytes=(4 if hi else 8) * 1024 * 1024)
+    # 1 at L=1024 (pt=2 there measured over the scope).  Beyond the resident
+    # cap the L-tiled E1/E2 pair takes over — its site tile is kernel C's
+    # lt, and its pair tile a power of two <= 8 so pt_pad stays divisible.
+    resident_e = l <= _BWD_RESIDENT_SITES_MAX
+    pt_e = _pick_tile_bwd(p, l if resident_e else lt, d, live_rows=28,
+                          floor=1, budget_bytes=(4 if hi else 8) * 1024 * 1024)
+    if not resident_e:
+        pt_e = min(8, 1 << max(0, pt_e.bit_length() - 1))
     # One padding serves all kernels: multiple of every tile (powers of two).
     pt_pad = max(pt_c, pt_e, 8)
     p_pad = -(-p // pt_pad) * pt_pad
@@ -714,18 +887,68 @@ def fused_axial_block_bwd(
         jax.ShapeDtypeStruct((d, d), f32),  # dWo_r
         jax.ShapeDtypeStruct((1, d), f32),  # dbo_r
     )
-    e_out_specs = (tile_e,) + tuple(
-        wgrad_spec(s.shape) for s in e_out_shapes[1:]
-    )
-    outs = pl.pallas_call(
-        functools.partial(_kernel_e, n_heads=n_heads, eps=eps, prec=prec,
-                          interpret=interpret),
-        grid=grid_e,
-        in_specs=[tile_e, tile_e, smask_e] + [full() for _ in e_params],
-        out_specs=e_out_specs,
-        out_shape=e_out_shapes,
-        interpret=interpret,
-    )(x, g1, site_mask3, *e_params)
+    if resident_e:
+        e_out_specs = (tile_e,) + tuple(
+            wgrad_spec(s.shape) for s in e_out_shapes[1:]
+        )
+        outs = pl.pallas_call(
+            functools.partial(_kernel_e, n_heads=n_heads, eps=eps, prec=prec,
+                              interpret=interpret),
+            grid=grid_e,
+            in_specs=[tile_e, tile_e, smask_e] + [full() for _ in e_params],
+            out_specs=e_out_specs,
+            out_shape=e_out_shapes,
+            interpret=interpret,
+        )(x, g1, site_mask3, *e_params)
+    else:
+        # L-tiled row backward: E1 accumulates the per-pair sums across site
+        # tiles (sites innermost); E2 finalizes per tile.  Grids share the
+        # kernel-C site tile so no additional padding of l is needed.
+        grid_et = (b, p_pad // pt_e, n_ltiles)
+        tile_et = pl.BlockSpec(
+            (1, pt_e, lt, d), lambda bi, pi, li: (bi, pi, li, 0),
+            memory_space=pltpu.VMEM,
+        )
+        smask_et = pl.BlockSpec(
+            (1, lt, 1), lambda bi, pi, li: (bi, li, 0),
+            memory_space=pltpu.VMEM,
+        )
+        rowsums_spec = pl.BlockSpec(
+            (1, pt_e, 1, 4 * d), lambda bi, pi, li: (bi, pi, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        e1_params = [
+            layer["row_norm"]["scale"], layer["row_norm"]["bias"],
+            la["wq"], la["bq"], la["wk"], la["bk"], la["wv"], la["bv"],
+            la["wo"].T,
+        ]
+        rowsums = pl.pallas_call(
+            functools.partial(_kernel_e1, n_heads=n_heads, eps=eps, prec=prec,
+                              interpret=interpret),
+            grid=grid_et,
+            in_specs=[tile_et, tile_et, smask_et]
+            + [full() for _ in e1_params],
+            out_specs=rowsums_spec,
+            out_shape=jax.ShapeDtypeStruct((b, p_pad, 1, 4 * d), f32),
+            interpret=interpret,
+        )(x, g1, site_mask3, *e1_params)
+
+        site_count = jnp.sum(site_mask.astype(jnp.float32), axis=1)[:, None]
+        e_out_specs = (tile_et,) + tuple(
+            pl.BlockSpec(s.shape, (lambda nd: lambda bi, pi, li: (0,) * nd)(
+                len(s.shape)), memory_space=pltpu.VMEM)
+            for s in e_out_shapes[1:]
+        )
+        outs = pl.pallas_call(
+            functools.partial(_kernel_e2, n_heads=n_heads, eps=eps, prec=prec,
+                              interpret=interpret),
+            grid=grid_et,
+            in_specs=[tile_et, tile_et, rowsums_spec, smask_et, count_spec]
+            + [full() for _ in e_params],
+            out_specs=e_out_specs,
+            out_shape=e_out_shapes,
+            interpret=interpret,
+        )(x, g1, rowsums, site_mask3, site_count, *e_params)
     (gx, drn_s, drn_b, drwq, drbq, drwk, drbk, drwv, drbv, drwo, drbo) = outs
 
     if p_pad != p:

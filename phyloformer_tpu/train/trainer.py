@@ -107,11 +107,10 @@ def _forward_pallas_ad(params, batch, cfg):
     VJP, :mod:`phyloformer_tpu.ops.pallas.axial_block_bwd`).
 
     ``PF_PALLAS_BWD=remat`` selects the round-1 remat backward (canonical
-    XLA re-trace) instead; beyond ``PF_PALLAS_TRAIN_MAX_SITES`` (the
-    backward row kernel's VMEM-resident site-axis cap) this falls back to
-    the canonical XLA forward entirely.  (Inference has no such cap — its
-    forward L-tiles beyond residency; the backward kernel E still holds the
-    site axis resident.)"""
+    XLA re-trace) instead.  There is no site cap: forward and backward both
+    switch to L-tiled kernels beyond VMEM residency (2048 fwd / 1024 bwd).
+    Setting ``PF_PALLAS_TRAIN_MAX_SITES`` > 0 restores the XLA fallback
+    above that length (escape hatch)."""
     import os
 
     from ..models.phyloformer import build_pairs, embed_alignment, forward
@@ -123,10 +122,8 @@ def _forward_pallas_ad(params, batch, cfg):
     codes = batch["codes"]
     b, n_seqs, seq_len = codes.shape
     interpret = jax.default_backend() != "tpu"  # compiled Pallas is TPU-only
-    # fused-training cap: L=1024 verified compiling + running on the dev
-    # chip (row-backward kernel at pt=1); the XLA path takes over beyond
-    max_sites = int(os.environ.get("PF_PALLAS_TRAIN_MAX_SITES", "1024"))
-    if seq_len > max_sites and not interpret:
+    max_sites = int(os.environ.get("PF_PALLAS_TRAIN_MAX_SITES", "0"))
+    if max_sites > 0 and seq_len > max_sites and not interpret:
         return forward(
             params, codes, cfg,
             site_mask=batch.get("site_mask"), seq_mask=batch.get("seq_mask"),
@@ -192,7 +189,10 @@ def make_train_step(
     def compute_loss_and_grads(params, batch, dropout_key):
         import os
 
-        max_sites = int(os.environ.get("PF_PALLAS_TRAIN_MAX_SITES", "1024"))
+        # The shard_map fused path still runs the resident forward kernel A
+        # (fused_kernel_a has no L-tiled variant yet), so it keeps A's
+        # verified residency cap; the XLA mesh path takes over beyond it.
+        max_sites = int(os.environ.get("PF_PALLAS_TRAIN_MAX_SITES", "2048"))
         if sharded_fused and batch["codes"].shape[2] <= max_sites:
             from ..ops.pallas.sharded import sharded_fused_loss_and_grads
 

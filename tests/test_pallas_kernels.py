@@ -186,6 +186,51 @@ def test_fused_block_custom_vjp_gradients(which):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-3, rtol=2e-3)
 
 
+def test_ltiled_backward_matches_canonical_vjp(monkeypatch):
+    """The L-tiled row backward (kernels E1/E2, site axes beyond VMEM
+    residency) must replicate the canonical chain rule with ragged padded
+    sites and pairs.  Forced by shrinking both residency thresholds so the
+    forward residuals come from the L-tiled forward AND the backward runs
+    E1/E2 (compiled-path parity at L=1536/2304 measured on the dev chip —
+    docs/performance.md)."""
+    import phyloformer_tpu.ops.pallas.axial_block as ab
+    import phyloformer_tpu.ops.pallas.axial_block_bwd as bwd
+    from phyloformer_tpu.ops.pallas.autodiff import fused_axial_block_ad
+
+    monkeypatch.setattr(ab, "_RESIDENT_SITES_MAX_HI", 48)
+    monkeypatch.setattr(bwd, "_BWD_RESIDENT_SITES_MAX", 48)
+
+    layer = _layer(19)
+    b, p = 2, 26
+    l = 150  # > 48 -> L-tiled; ragged vs the site tile
+    real_p, real_l = 23, 119
+    x = _rand_x(b, p, l, seed=21)
+    site_mask = jnp.asarray(np.arange(l)[None, :] < real_l).repeat(b, 0)
+    pair_mask = jnp.asarray(np.arange(p)[None, :] < real_p).repeat(b, 0)
+    rng = np.random.default_rng(29)
+    g = jnp.asarray(rng.normal(size=(b, p, l, 64)).astype(np.float32))
+    g = g * site_mask[:, None, :, None] * pair_mask[:, :, None, None]
+
+    def loss_fused(x, layer):
+        out = fused_axial_block_ad(x, layer, site_mask, pair_mask, CFG, True)
+        return jnp.sum(out * g)
+
+    def loss_ref(x, layer):
+        with jax.default_matmul_precision("float32"):
+            return jnp.sum(axial_block(x, layer, CFG, site_mask, pair_mask) * g)
+
+    with jax.default_matmul_precision("float32"):
+        v1, (gx1, gl1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x, layer)
+        v2, (gx2, gl2) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, layer)
+    assert float(v1) == pytest.approx(float(v2), rel=1e-4)
+    m = np.asarray(site_mask[:, None, :, None] & pair_mask[:, :, None, None])
+    np.testing.assert_allclose(np.asarray(gx1) * m, np.asarray(gx2) * m,
+                               atol=2e-3, rtol=1e-3)
+    for a, b2 in zip(jax.tree_util.tree_leaves(gl1), jax.tree_util.tree_leaves(gl2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-3,
+                                   rtol=2e-3)
+
+
 def test_fused_backward_kernels_with_padding():
     """The analytic fused backward must replicate the canonical chain rule
     with padded sites AND padded pairs (masked-loss cotangents, zero-sum
