@@ -493,19 +493,18 @@ _RESIDENT_SITES_MAX_HI = 1024
 _LTILE = 256
 
 
-def _fused_block_ltiled_impl(x, layer, site_mask, pair_mask, n_heads, eps,
-                             interpret, prec):
-    """Two-pass L-tiled fused block for site axes beyond VMEM residency.
+def _ltiled_kernel_a(x, layer, site_mask, pair_mask, n_heads, eps,
+                     interpret, prec):
+    """L-tiled equivalent of kernel A: ``(x1, stats)`` plus padded shapes.
 
-    Removes the site cap entirely: kernel A's single pass over a resident
-    site axis becomes A1 (row sums Σq/Σk/Σk·v accumulated across site
-    tiles; grid b × P-tiles × L-tiles, site innermost) and A2 (row
-    attention finalized from the global sums — the running-sum trick the
-    pair axis already uses — emitting x1 and accumulating the column stats
-    across pair tiles; grid b × L-tiles × P-tiles, pair innermost).
-    Kernel B is per-site local and just gains the L grid dimension.  Costs
-    one extra read of x vs the resident path, so the resident kernels keep
-    serving L <= _RESIDENT_SITES_MAX.
+    Kernel A's single pass over a resident site axis becomes A1 (row sums
+    Σq/Σk/Σk·v accumulated across site tiles; grid b × P-tiles × L-tiles,
+    site innermost) and A2 (row attention finalized from the global sums —
+    the running-sum trick the pair axis already uses — emitting x1 and
+    accumulating the column stats across pair tiles; grid b × L-tiles ×
+    P-tiles, pair innermost).  Also serves the sharded (shard_map) path:
+    both outputs are per-pair-shard local, with the caller psumming
+    ``stats`` over the mesh 'pair' axis exactly as for resident kernel A.
     """
     b, p, l, d = x.shape
     lt = min(_LTILE, l)
@@ -588,6 +587,32 @@ def _fused_block_ltiled_impl(x, layer, site_mask, pair_mask, n_heads, eps,
         ),
         interpret=interpret,
     )(x, rowstats, site_mask3, pair_mask4, site_count, *a2_params)
+    return x1, stats, (p_pad, l_pad, pt, lt)
+
+
+def _fused_block_ltiled_impl(x, layer, site_mask, pair_mask, n_heads, eps,
+                             interpret, prec):
+    """Two-pass L-tiled fused block for site axes beyond VMEM residency.
+
+    Removes the site cap entirely: see :func:`_ltiled_kernel_a` for the
+    A1/A2 split; kernel B is per-site local and just gains the L grid
+    dimension.  Costs one extra read of x vs the resident path, so the
+    resident kernels keep serving shorter site axes.
+    """
+    b, p, l, d = x.shape
+    x1, stats, (p_pad, l_pad, pt, lt) = _ltiled_kernel_a(
+        x, layer, site_mask, pair_mask, n_heads, eps, interpret, prec
+    )
+    if p_pad != p or l_pad != l:
+        pair_mask = jnp.pad(pair_mask, ((0, 0), (0, p_pad - p)))
+        site_mask = jnp.pad(site_mask, ((0, 0), (0, l_pad - l)))
+    n_pt = p_pad // pt
+    n_lt = l_pad // lt
+    ca = layer["col_attn"]
+    ffn = layer["ffn"]
+    pair_mask4 = pair_mask[:, :, None, None].astype(jnp.float32)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     # ---- kernel B, L-tiled (per-site local; unchanged math) ----
     pair_count = jnp.sum(pair_mask.astype(jnp.float32), axis=1)[:, None]
@@ -636,13 +661,29 @@ def fused_kernel_a(
     """Kernel A alone: ``(x1, stats_raw)`` for one pair shard.
 
     Used by the multi-chip fused forward (:mod:`.sharded`), which psums the
-    raw stats over the mesh 'pair' axis before running kernel B."""
+    raw stats over the mesh 'pair' axis before running kernel B.  Beyond
+    VMEM residency the L-tiled A1/A2 pair serves the same contract (both
+    outputs stay per-shard local), so the sharded path has no site cap
+    either."""
     prec = (
         jax.lax.Precision.HIGHEST
         if mxu_precision.lower() in ("highest", "float32")
         else jax.lax.Precision.DEFAULT
     )
     b, p, l, d = x.shape
+    resident_max = (
+        _RESIDENT_SITES_MAX_HI
+        if prec == jax.lax.Precision.HIGHEST
+        else _RESIDENT_SITES_MAX
+    )
+    if l > resident_max:
+        x1, stats, (p_pad, l_pad, _, _) = _ltiled_kernel_a(
+            x, layer, site_mask, pair_mask, n_heads, eps, interpret, prec
+        )
+        if p_pad != p or l_pad != l:
+            x1 = x1[:, :p, :l]
+            stats = stats[:, :l]
+        return x1, stats
     pt = _pick_tile(p, l, d)
     p_pad = -(-p // pt) * pt
     if p_pad != p:

@@ -294,7 +294,13 @@ def _kernel_b_host(x1, stats, pair_count, layer, n_heads, eps, interpret,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .axial_block import _kernel_b, _pick_tile
+    from .axial_block import (
+        _LTILE,
+        _RESIDENT_SITES_MAX,
+        _RESIDENT_SITES_MAX_HI,
+        _kernel_b,
+        _pick_tile,
+    )
 
     prec = (
         jax.lax.Precision.HIGHEST
@@ -302,20 +308,36 @@ def _kernel_b_host(x1, stats, pair_count, layer, n_heads, eps, interpret,
         else jax.lax.Precision.DEFAULT
     )
     b, p, l, d = x1.shape
-    pt = _pick_tile(p, l, d)
+    resident_max = (
+        _RESIDENT_SITES_MAX_HI
+        if prec == jax.lax.Precision.HIGHEST
+        else _RESIDENT_SITES_MAX
+    )
+    if l <= resident_max:
+        lt = l
+        pt = _pick_tile(p, l, d)
+    else:  # L-tiled: same per-site kernel B, extra site grid dimension
+        lt = min(_LTILE, l)
+        pt = max(1, min(p, 2048 // lt))
+        if pt >= 8:
+            pt = (pt // 8) * 8
+    l_pad = -(-l // lt) * lt
     p_pad = -(-p // pt) * pt
-    if p_pad != p:
-        x1 = jnp.pad(x1, ((0, 0), (0, p_pad - p), (0, 0), (0, 0)))
-    n_tiles = p_pad // pt
-    grid = (b, n_tiles)
+    if p_pad != p or l_pad != l:
+        x1 = jnp.pad(x1, ((0, 0), (0, p_pad - p), (0, l_pad - l), (0, 0)))
+        stats = jnp.pad(stats, ((0, 0), (0, l_pad - l), (0, 0)))
+    grid = (b, p_pad // pt, l_pad // lt)
     tile_spec = pl.BlockSpec(
-        (1, pt, l, d), lambda bi, pi: (bi, pi, 0, 0), memory_space=pltpu.VMEM
+        (1, pt, lt, d), lambda bi, pi, li: (bi, pi, li, 0),
+        memory_space=pltpu.VMEM,
     )
     stats_spec = pl.BlockSpec(
-        (1, l, 3 * d), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM
+        (1, lt, 3 * d), lambda bi, pi, li: (bi, li, 0),
+        memory_space=pltpu.VMEM,
     )
     pmask_spec = pl.BlockSpec(
-        (1, pt, 1, 1), lambda bi, pi: (bi, pi, 0, 0), memory_space=pltpu.VMEM
+        (1, pt, 1, 1), lambda bi, pi, li: (bi, pi, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     count_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -336,9 +358,9 @@ def _kernel_b_host(x1, stats, pair_count, layer, n_heads, eps, interpret,
         in_specs=[tile_spec, stats_spec, pmask_spec, count_spec]
         + [full() for _ in b_params],
         out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((b, p_pad, l, d), x1.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, l_pad, d), x1.dtype),
         interpret=interpret,
     )(x1, stats, dummy_pmask, pair_count[:, None], *b_params)
-    if p_pad != p:
-        x3 = x3[:, :p]
+    if p_pad != p or l_pad != l:
+        x3 = x3[:, :p, :l]
     return x3

@@ -189,11 +189,10 @@ def make_train_step(
     def compute_loss_and_grads(params, batch, dropout_key):
         import os
 
-        # The shard_map fused path still runs the resident forward kernel A
-        # (fused_kernel_a has no L-tiled variant yet), so it keeps A's
-        # verified residency cap; the XLA mesh path takes over beyond it.
-        max_sites = int(os.environ.get("PF_PALLAS_TRAIN_MAX_SITES", "2048"))
-        if sharded_fused and batch["codes"].shape[2] <= max_sites:
+        max_sites = int(os.environ.get("PF_PALLAS_TRAIN_MAX_SITES", "0"))
+        if sharded_fused and (
+            max_sites <= 0 or batch["codes"].shape[2] <= max_sites
+        ):
             from ..ops.pallas.sharded import sharded_fused_loss_and_grads
 
             interpret = jax.default_backend() != "tpu"

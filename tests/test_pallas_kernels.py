@@ -285,10 +285,14 @@ def test_fused_block_other_architecture():
     assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-4
 
 
-def test_sharded_fused_forward_matches_xla():
+@pytest.mark.parametrize("ltiled", [False, True])
+def test_sharded_fused_forward_matches_xla(ltiled, monkeypatch):
     """Multi-chip fused inference (kernel A per pair shard + stats psum +
     kernel B local, under shard_map) == the XLA fp32 forward, on the
-    8-device virtual mesh with padded sites AND sequences."""
+    8-device virtual mesh with padded sites AND sequences.  The ``ltiled``
+    variant shrinks the residency thresholds so the shard-local forward
+    runs the L-tiled A1/A2 + L-tiled kernel B (no site cap on the sharded
+    path either)."""
     from phyloformer_tpu.models.params import init_params
     from phyloformer_tpu.models.phyloformer import (
         forward,
@@ -299,6 +303,12 @@ def test_sharded_fused_forward_matches_xla():
 
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual mesh")
+    if ltiled:
+        import phyloformer_tpu.ops.pallas.axial_block as ab
+
+        monkeypatch.setattr(ab, "_RESIDENT_SITES_MAX_HI", 16)
+        monkeypatch.setattr(ab, "_RESIDENT_SITES_MAX", 16)
+        monkeypatch.setattr(ab, "_LTILE", 32)
     cfg = PhyloformerConfig()
     params = init_params(jax.random.PRNGKey(0), cfg)
     mesh = make_mesh(data=2, pair=4)
