@@ -493,6 +493,21 @@ _RESIDENT_SITES_MAX_HI = 1024
 _LTILE = 256
 
 
+def _ltiled_tiles(p: int, l: int):
+    """(pair, site) tile sizes for the L-tiled kernels (A1/A2, L-tiled B).
+
+    2048 row-units (vs the resident path's 4096): the two-pass kernels
+    carry one extra live tile (rowstats + recomputed projections), and
+    16.07 MiB > the 16 MiB scope at 4096 units (measured compile failure).
+    Shared with the sharded kernel-B host wrapper so single- and
+    multi-chip tiling stay in sync."""
+    lt = min(_LTILE, l)
+    pt = max(1, min(p, 2048 // lt))
+    if pt >= 8:
+        pt = (pt // 8) * 8
+    return pt, lt
+
+
 def _ltiled_kernel_a(x, layer, site_mask, pair_mask, n_heads, eps,
                      interpret, prec):
     """L-tiled equivalent of kernel A: ``(x1, stats)`` plus padded shapes.
@@ -507,14 +522,8 @@ def _ltiled_kernel_a(x, layer, site_mask, pair_mask, n_heads, eps,
     ``stats`` over the mesh 'pair' axis exactly as for resident kernel A.
     """
     b, p, l, d = x.shape
-    lt = min(_LTILE, l)
+    pt, lt = _ltiled_tiles(p, l)
     l_pad = -(-l // lt) * lt
-    # 2048 row-units (vs the resident path's 4096): the two-pass kernels
-    # carry one extra live tile (rowstats + recomputed projections), and
-    # 16.07 MiB > the 16 MiB scope at 4096 units (measured compile failure)
-    pt = max(1, min(p, 2048 // lt))
-    if pt >= 8:
-        pt = (pt // 8) * 8
     p_pad = -(-p // pt) * pt
     if p_pad != p or l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, l_pad - l), (0, 0)))
@@ -525,7 +534,6 @@ def _ltiled_kernel_a(x, layer, site_mask, pair_mask, n_heads, eps,
 
     la = layer["row_attn"]
     ca = layer["col_attn"]
-    ffn = layer["ffn"]
     site_mask3 = site_mask[:, :, None].astype(jnp.float32)  # (B, L, 1)
     pair_mask4 = pair_mask[:, :, None, None].astype(jnp.float32)  # (B,P,1,1)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)

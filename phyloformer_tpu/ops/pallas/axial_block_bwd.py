@@ -29,11 +29,13 @@ including the zero-sum guards (``where(s > 0, s, 1)`` passes gradient only
 where the raw sum was positive); validated against ``jax.vjp`` of the
 canonical block in ``tests/test_pallas_kernels.py``.
 
-Kernel E holds the full site axis per pair tile in VMEM, so training keeps
-a site cap (``PF_PALLAS_TRAIN_MAX_SITES``, default 1024; the training
-wrapper falls back to the canonical XLA path beyond it).  The inference
-forward has no cap — beyond residency it switches to the two-pass L-tiled
-kernels in :mod:`.axial_block`.
+There is no training site cap: kernel E holds the full site axis per pair
+tile in VMEM up to ``_BWD_RESIDENT_SITES_MAX`` (1024), and beyond that the
+two-pass L-tiled pair **E1/E2** takes over (E1 accumulates the per-pair
+sums Σq/Σk/Σk·v/Σ(d_attn⊙q) across site tiles; E2 finalizes per tile) —
+mirroring the forward's A1/A2 split in :mod:`.axial_block`.  Setting
+``PF_PALLAS_TRAIN_MAX_SITES`` > 0 restores an XLA fallback above that
+length (escape hatch; default 0 = uncapped).
 """
 
 from __future__ import annotations
@@ -54,6 +56,11 @@ _INV_SQRT2PI = 0.3989422804014327
 # compiling at pt=1 on the dev chip); beyond it the L-tiled E1/E2 pair
 # takes over, removing the training site cap.
 _BWD_RESIDENT_SITES_MAX = 1024
+
+# Upper bound of the site-tile divisor search for the L-tiled backward
+# kernels (C/D and E1/E2); lengths with no multiple-of-8 divisor below it
+# are padded to a tile multiple instead.
+_BWD_LTILE_MAX = 320
 
 
 def _gelu_grad(u):
@@ -717,13 +724,29 @@ def fused_axial_block_bwd(
         pair_count = jnp.sum(pair_mask.astype(jnp.float32), axis=1)[:, None]
 
     # Kernel C is per-site local, so its site axis is tiled: the largest
-    # multiple-of-8 divisor of l that is <= 320 (bucketed shapes are
-    # multiples of 128, so this normally lands on 256 or the full axis).
-    lt = l
-    for cand in range(min(l, 320), 7, -8):
+    # multiple-of-8 divisor of l that is <= _BWD_LTILE_MAX (bucketed shapes
+    # are multiples of 128, so this normally lands on 256 or the full
+    # axis).  Lengths with no such divisor (e.g. odd l) are PADDED to a
+    # tile multiple instead of keeping the whole axis resident — with the
+    # site cap gone, lt = l would blow the VMEM scope at large l.  Padded
+    # sites are exact no-ops: their cotangents/masks are zero, so every
+    # backward contribution through them vanishes (verified by the ragged
+    # L-tiled backward test).
+    l_orig = l
+    lt = l if l <= _BWD_LTILE_MAX else 0
+    for cand in range(min(l, _BWD_LTILE_MAX), 7, -8):
         if l % cand == 0:
             lt = cand
             break
+    if lt == 0:
+        lt = min(256, -(-_BWD_LTILE_MAX // 8) * 8)
+        l = -(-l // lt) * lt
+        padl = ((0, 0), (0, 0), (0, l - l_orig), (0, 0))
+        x = jnp.pad(x, padl)
+        x1 = jnp.pad(x1, padl)
+        g3 = jnp.pad(g3, padl)
+        stats = jnp.pad(stats, ((0, 0), (0, l - l_orig), (0, 0)))
+        site_mask = jnp.pad(site_mask, ((0, 0), (0, l - l_orig)))
     n_ltiles = l // lt
 
     # HIGHEST-precision (3-pass fp32) matmuls materialize extra temporaries:
@@ -951,8 +974,8 @@ def fused_axial_block_bwd(
         )(x, g1, rowsums, site_mask3, site_count, *e_params)
     (gx, drn_s, drn_b, drwq, drbq, drwk, drbk, drwv, drbv, drwo, drbo) = outs
 
-    if p_pad != p:
-        gx = gx[:, :p]
+    if p_pad != p or l != l_orig:
+        gx = gx[:, :p, :l_orig]
 
     dlayer = {
         "row_norm": {"scale": drn_s[0], "bias": drn_b[0]},

@@ -295,10 +295,10 @@ def _kernel_b_host(x1, stats, pair_count, layer, n_heads, eps, interpret,
     from jax.experimental.pallas import tpu as pltpu
 
     from .axial_block import (
-        _LTILE,
         _RESIDENT_SITES_MAX,
         _RESIDENT_SITES_MAX_HI,
         _kernel_b,
+        _ltiled_tiles,
         _pick_tile,
     )
 
@@ -317,10 +317,7 @@ def _kernel_b_host(x1, stats, pair_count, layer, n_heads, eps, interpret,
         lt = l
         pt = _pick_tile(p, l, d)
     else:  # L-tiled: same per-site kernel B, extra site grid dimension
-        lt = min(_LTILE, l)
-        pt = max(1, min(p, 2048 // lt))
-        if pt >= 8:
-            pt = (pt // 8) * 8
+        pt, lt = _ltiled_tiles(p, l)
     l_pad = -(-l // lt) * lt
     p_pad = -(-p // pt) * pt
     if p_pad != p or l_pad != l:

@@ -88,7 +88,10 @@ def test_forward_fused_dispatches_ltiled_beyond_residency(monkeypatch):
     import phyloformer_tpu.ops.pallas.axial_block as ab
     from phyloformer_tpu.models.phyloformer import forward, forward_fused
 
-    monkeypatch.setattr(ab, "_RESIDENT_SITES_MAX", 64)  # force the split path
+    # force the split path (HI is the threshold actually consulted here:
+    # matmul_precision="float32" maps to HIGHEST kernels)
+    monkeypatch.setattr(ab, "_RESIDENT_SITES_MAX_HI", 64)
+    monkeypatch.setattr(ab, "_RESIDENT_SITES_MAX", 64)
     cfg = PhyloformerConfig(n_blocks=2, matmul_precision="float32")
     params = init_params(jax.random.PRNGKey(7), cfg)
     b, n, l = 1, 8, 160
@@ -199,6 +202,11 @@ def test_ltiled_backward_matches_canonical_vjp(monkeypatch):
 
     monkeypatch.setattr(ab, "_RESIDENT_SITES_MAX_HI", 48)
     monkeypatch.setattr(bwd, "_BWD_RESIDENT_SITES_MAX", 48)
+    # l=150 has no multiple-of-8 divisor <= 48, so this also exercises the
+    # no-divisor fallback (site axis padded to a 48-tile multiple -> 4 site
+    # tiles) — i.e. E1's cross-site-tile accumulation and E2's multi-tile
+    # weight-grad accumulation run, with padded sites as exact no-ops.
+    monkeypatch.setattr(bwd, "_BWD_LTILE_MAX", 48)
 
     layer = _layer(19)
     b, p = 2, 26
