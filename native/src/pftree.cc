@@ -1110,6 +1110,56 @@ void spr_walk(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
   }
 }
 
+// Incremental-mixture variant of spr_walk (batched mode only): carries
+// c = delta(behind, sub(d_g)) down the walk so the cost at each target is
+// O(1).  One child's a0 = delta(behind, down0) costs one O(m) mixture; the
+// other is a1 = 2c - a0 (exact: delta(B, d_g) halves over d_g's kids), and
+// each child's c is then 0.5*delta(sib, down) + 0.5*a — so the O(m)
+// mixture runs once per INTERNAL node instead of once per target (~2x
+// fewer lookups; the scan is lookup-latency bound).  The one-move mode
+// keeps the direct-mixture spr_walk: a1's subtraction rounds differently
+// at the last ulp, and reference visiting-order semantics must not shift.
+// Batched applications stay exact regardless: every recorded gain is
+// re-verified with spr_gain_current (direct mixtures) before applying.
+void spr_walk_inc(const Tree& t, DeltaCache& T, int dS, int d_g, double sA,
+                  double c, std::vector<int>* sibs, double base_cost,
+                  SprBest* best, std::vector<SprMove>* moves,
+                  double record_eps, bool path_dirty) {
+  if (!path_dirty && !T.dirty_sub(d_g)) return;
+  double cost = 0.5 * (sA + T.at(dS, d_g) - c);
+  double gain = base_cost - cost;
+  if (gain > best->gain) {
+    best->gain = gain;
+    best->prune_dir = dS;
+    best->target_edge = d_g / 2;
+  }
+  if (moves && gain > record_eps)
+    moves->push_back({gain, dS, d_g / 2});
+  int h = T.head(d_g);
+  if (h < t.n_leaves) return;
+  std::array<int, 2> kid_edges{-1, -1};
+  int k = 0;
+  for (int e2 : t.adj[h])
+    if (e2 != d_g / 2) kid_edges[k++] = e2;
+  int down0 = away(t, kid_edges[0], h);
+  int down1 = away(t, kid_edges[1], h);
+  double a0 = mix_delta(T, *sibs, down0);
+  double a1 = 2.0 * c - a0;
+  double d01 = T.at(down0, down1);
+  // child 0 (sibling = down1), then child 1 (sibling = down0) — the same
+  // visiting order as spr_walk's kid loop
+  sibs->push_back(down1);
+  spr_walk_inc(t, T, dS, down0, 0.5 * T.at(dS, down1) + 0.5 * sA,
+               0.5 * d01 + 0.5 * a0, sibs, base_cost, best, moves,
+               record_eps, path_dirty || T.dirty(down1));
+  sibs->pop_back();
+  sibs->push_back(down0);
+  spr_walk_inc(t, T, dS, down1, 0.5 * T.at(dS, down0) + 0.5 * sA,
+               0.5 * d01 + 0.5 * a1, sibs, base_cost, best, moves,
+               record_eps, path_dirty || T.dirty(down0));
+  sibs->pop_back();
+}
+
 // Targeted variant: find `target` in the cone below d_g and return its
 // insertion cost (current tree, current cache).  Returns false if target is
 // not in this cone.
@@ -1308,9 +1358,14 @@ bool bspr_step_fast(const DistMatrix& dm, Tree* t, double eps, bool* ok,
           sibs.push_back(d_r0);
           sibs.push_back(sib);
           double sA = 0.5 * T.at(d, sib) + 0.5 * T.at(d, d_r0);
-          spr_walk(*t, T, d, down, sA, &sibs, base, rbest,
-                   batch ? rmoves : nullptr, eps,
-                   base_dirty || T.dirty(sib));
+          if (batch) {
+            double c0 = 0.5 * T.at(sib, down) + 0.5 * T.at(d_r0, down);
+            spr_walk_inc(*t, T, d, down, sA, c0, &sibs, base, rbest,
+                         rmoves, eps, base_dirty || T.dirty(sib));
+          } else {
+            spr_walk(*t, T, d, down, sA, &sibs, base, rbest, nullptr, eps,
+                     base_dirty || T.dirty(sib));
+          }
         }
       }
     }
