@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="training loss (reference hard-codes L1; PF was "
                             "fine-tuned with MRE)")
     train.add_argument("--seed", type=int, default=1337)
+    train.add_argument("--grad-accum", type=int, default=1,
+                       help="average gradients over N micro-batches per "
+                            "optimizer update (effective batch = "
+                            "batch-size*N beyond single-step HBM limits)")
     train.add_argument("--remat", action="store_true",
                        help="rematerialize blocks (activation memory saver)")
     train.add_argument("--use-pallas", choices=["auto", "on", "off"],
@@ -168,9 +172,12 @@ def main(argv=None) -> int:
         print(f"mesh: {dict(mesh.shape)}")
 
     # total steps for the linear decay: ceil(len(train)/batch) * epochs
-    # (reference total_steps calc, train_distributed.py:424-426)
+    # (reference total_steps calc, train_distributed.py:424-426).  With
+    # gradient accumulation the schedule advances once per APPLIED update,
+    # so its horizon is measured in updates, not micro-batches.
     steps_per_epoch = -(-len(train_pairs) // args.batch_size)
     total_steps = args.max_steps or steps_per_epoch * args.nb_epochs
+    total_steps = max(1, total_steps // max(1, args.grad_accum))
 
     if args.use_pallas == "auto":
         # default ON where the fused kernels exist (TPU) and dropout permits
@@ -191,6 +198,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         shard_pairs=args.shard_pairs,
         use_pallas=use_pallas,
+        grad_accum=args.grad_accum,
     )
 
     nw = args.num_workers

@@ -47,6 +47,12 @@ class TrainConfig:
     # published-checkpoint setting). PF_PALLAS_BWD=remat restores the round-1
     # remat backward.
     use_pallas: bool = False
+    # Average gradients over this many micro-batches before each optimizer
+    # update (optax.MultiSteps): emulates batch_size*grad_accum beyond what
+    # fits in HBM (e.g. effective batch 16 at 50x256 needs 30 GB in one
+    # step but runs at batch-8 memory with grad_accum=2).  The LR schedule
+    # advances once per applied update; `step` counts micro-batches.
+    grad_accum: int = 1
 
 
 TrainState = Dict[str, Any]  # {'params', 'opt_state', 'step'}
@@ -71,6 +77,8 @@ def create_train_state(
         tcfg.weight_decay,
         tcfg.grad_clip,
     )
+    if tcfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tcfg.grad_accum)
     state: TrainState = {
         "params": params,
         "opt_state": tx.init(params),
@@ -218,7 +226,9 @@ def make_train_step(
         logs = {
             "train_loss": loss,
             "grad_norm": gnorm,
-            "learning_rate": sched(state["step"]),
+            # with accumulation the schedule advances once per APPLIED
+            # update (micro-steps in between hold the previous lr)
+            "learning_rate": sched(state["step"] // max(1, tcfg.grad_accum)),
         }
         return new_state, logs
 

@@ -76,6 +76,37 @@ def test_train_step_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+def test_grad_accum_matches_full_batch():
+    """Two half-batch micro-steps with grad_accum=2 must apply the same
+    parameter update as one full-batch step (optax.MultiSteps averages the
+    accumulated gradients; each loss is itself a mean, so halves weigh
+    equally)."""
+    full = toy_batch(bsz=4)
+    halves = [
+        {k: v[:2] for k, v in full.items()},
+        {k: v[2:] for k, v in full.items()},
+    ]
+
+    tcfg1 = TrainConfig(total_steps=100, warmup_steps=0, learning_rate=1e-3)
+    state1, tx1 = create_train_state(SMALL, tcfg1)
+    step1 = make_train_step(SMALL, tcfg1, tx1)
+    state1, _ = step1(state1, full, jax.random.PRNGKey(0))
+
+    tcfg2 = TrainConfig(total_steps=100, warmup_steps=0, learning_rate=1e-3,
+                        grad_accum=2)
+    state2, tx2 = create_train_state(SMALL, tcfg2)
+    step2 = make_train_step(SMALL, tcfg2, tx2)
+    for h in halves:
+        state2, logs2 = step2(state2, h, jax.random.PRNGKey(0))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1["params"]),
+        jax.tree_util.tree_leaves(state2["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
 def test_eval_step_metrics():
     tcfg = TrainConfig()
     state, _ = create_train_state(SMALL, tcfg)
