@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "host writes its own shard of outputs)")
     parser.add_argument("--distributed-init", action="store_true",
                         help="call jax.distributed.initialize() first")
+    parser.add_argument("--mesh-data", type=int, default=None,
+                        help="run over a ('data','pair') device mesh: data-"
+                             "axis size (default: all devices / --mesh-pair)")
+    parser.add_argument("--mesh-pair", type=int, default=1,
+                        help="pair-axis mesh size — shards the quadratic "
+                             "pair activation axis across chips for "
+                             "alignments beyond one chip's HBM")
     return parser
 
 
@@ -120,7 +127,15 @@ def main(argv=None) -> int:
             max_batch_tokens=args.batch_tokens, precision=args.precision,
             matmul_precision=args.matmul_precision, use_pallas=args.pallas,
         )
-    engine = InferenceEngine(params, cfg, icfg)
+    if args.mesh_data is not None or args.mesh_pair > 1:
+        from ..infer.engine import ShardedInferenceEngine
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, pair=args.mesh_pair)
+        print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
+        engine = ShardedInferenceEngine(params, cfg, mesh, icfg)
+    else:
+        engine = InferenceEngine(params, cfg, icfg)
 
     t1 = time.perf_counter()
     preds = engine.predict(alns)

@@ -153,6 +153,12 @@ class InferenceEngine:
         put = self._jax.device_put
         return put(codes), put(site_mask), put(seq_mask)
 
+    def _padded_bsz(self, n: int) -> int:
+        """Device batch size for ``n`` planned rows under pad_batch_sizes.
+        The sharded engine overrides this to keep the result divisible by
+        the mesh 'data' axis."""
+        return 1 << (n - 1).bit_length()
+
     # Cap on staged (pre-transferred) input bytes per window.  Inputs are
     # tiny next to activations (int32 codes: B*n*L*4), so one window covers
     # any realistic workload; the cap only guards pathological plans.
@@ -181,7 +187,7 @@ class InferenceEngine:
                 (pad_n, pad_l), idxs = plan[cursor]
                 bsz = len(idxs)
                 if self.icfg.pad_batch_sizes:
-                    bsz = 1 << (bsz - 1).bit_length()  # next power of two
+                    bsz = self._padded_bsz(bsz)
                 codes = np.zeros((bsz, pad_n, pad_l), dtype=np.int32)
                 site_mask = np.zeros((bsz, pad_l), dtype=bool)
                 seq_mask = np.zeros((bsz, pad_n), dtype=bool)
@@ -309,3 +315,11 @@ class ShardedInferenceEngine(InferenceEngine):
                 idxs = idxs + [idxs[-1]]
             fixed.append((shape, idxs))
         return fixed
+
+    def _padded_bsz(self, n: int) -> int:
+        """Power-of-two padding, then rounded up to a multiple of the mesh
+        'data' axis so the batch-axis sharding stays divisible (a non-power-
+        of-two data axis would otherwise break device_put)."""
+        b = super()._padded_bsz(n)
+        ndata = self.mesh.shape["data"]
+        return -(-b // ndata) * ndata

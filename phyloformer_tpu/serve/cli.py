@@ -23,25 +23,38 @@ def main(argv=None) -> int:
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--batch-window-ms", type=float, default=20.0)
     p.add_argument("--batch-tokens", type=int, default=1 << 23)
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="serve over a ('data','pair') device mesh: data-axis "
+                        "size (default: all devices / --mesh-pair)")
+    p.add_argument("--mesh-pair", type=int, default=1,
+                   help="pair-axis mesh size — shards the quadratic pair "
+                        "activation axis for alignments beyond one chip's HBM")
     args = p.parse_args(argv)
 
-    from ..infer.engine import InferenceConfig, InferenceEngine
+    from ..infer.engine import InferenceConfig, InferenceEngine, ShardedInferenceEngine
     from ..io.ckpt_import import load_pretrained
     from .server import InferenceServer
 
     params, cfg, _ = load_pretrained(args.weights)
-    engine = InferenceEngine(
-        params, cfg,
-        InferenceConfig(
-            matmul_precision=args.precision,
-            use_pallas=args.pallas,
-            max_batch_tokens=args.batch_tokens,
-            # bound jit retraces under bursty request loads (padding rows are
-            # masked no-ops; a fresh compile per batch size would stall the
-            # service for minutes on cold shapes)
-            pad_batch_sizes=True,
-        ),
+    icfg = InferenceConfig(
+        matmul_precision=args.precision,
+        use_pallas=args.pallas,
+        max_batch_tokens=args.batch_tokens,
+        # bound jit retraces under bursty request loads (padding rows are
+        # masked no-ops; a fresh compile per batch size would stall the
+        # service for minutes on cold shapes)
+        pad_batch_sizes=True,
     )
+    import jax
+
+    if args.mesh_data is not None or args.mesh_pair > 1 or len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, pair=args.mesh_pair)
+        print(f"pf-serve mesh: {dict(mesh.shape)}", file=sys.stderr)
+        engine = ShardedInferenceEngine(params, cfg, mesh, icfg)
+    else:
+        engine = InferenceEngine(params, cfg, icfg)
     info = {
         "model": args.weights,
         "n_blocks": cfg.n_blocks,

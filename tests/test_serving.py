@@ -98,6 +98,65 @@ def test_json_body_and_microbatching(server, testdata_dir):
     assert batches_used <= 4, f"micro-batching ineffective: {batches_used} batches"
 
 
+def test_sharded_serving_matches_goldens(goldens_dir, testdata_dir):
+    """pf-serve over a ('data','pair') mesh (ShardedInferenceEngine +
+    pad_batch_sizes) returns the same distances as the single-device path —
+    including the batch-size padding kept divisible by the data axis."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from phyloformer_tpu.infer.engine import ShardedInferenceEngine
+    from phyloformer_tpu.parallel import make_mesh
+
+    params, cfg, _ = load_pretrained(CKPT)
+    mesh = make_mesh(data=4, pair=2)
+    engine = ShardedInferenceEngine(
+        params, cfg, mesh, InferenceConfig(pad_batch_sizes=True)
+    )
+    srv = InferenceServer(engine, {"model": "pf"}, port=0, batch_window_ms=50)
+    srv.start_background()
+    try:
+        fasta = (testdata_dir / "msas" / "0_20_tips.fa").read_bytes()
+        status, body = _post(srv.port, "/predict", fasta)
+        assert status == 200
+        obj = json.loads(body)
+        dm = np.asarray(obj["distances"])
+        g = np.load(goldens_dir / "pf_preds_testdata.npz")
+        from phyloformer_tpu.data import square_to_vector
+
+        np.testing.assert_allclose(square_to_vector(dm), g["0_20_tips"], atol=1e-3)
+
+        # a 3-request burst exercises the non-power-of-two padding path
+        def one(_):
+            return _post(srv.port, "/predict", fasta)[0]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=3) as ex:
+            codes = list(ex.map(one, range(3)))
+        assert codes == [200] * 3
+    finally:
+        srv.shutdown()
+
+
+def test_sharded_padded_bsz():
+    """Batch padding stays divisible by any (even non-power-of-two) data axis."""
+    from phyloformer_tpu.infer.engine import ShardedInferenceEngine
+
+    class Fake(ShardedInferenceEngine):
+        def __init__(self, ndata):
+            class M:  # minimal mesh stand-in
+                shape = {"data": ndata}
+
+            self.mesh = M()
+
+    for ndata in (1, 2, 3, 4, 5, 8):
+        eng = Fake(ndata)
+        for n in range(1, 33):
+            b = eng._padded_bsz(n)
+            assert b >= n and b % ndata == 0
+
+
 def test_bad_requests(server):
     status, body = _post(server.port, "/predict", b"not fasta at all")
     assert status == 400
