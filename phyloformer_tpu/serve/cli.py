@@ -45,9 +45,10 @@ def main(argv=None) -> int:
         # service for minutes on cold shapes)
         pad_batch_sizes=True,
     )
-    import jax
-
-    if args.mesh_data is not None or args.mesh_pair > 1 or len(jax.devices()) > 1:
+    # mesh only when explicitly requested (matches pf-infer semantics —
+    # `--mesh-data 1 --mesh-pair 1` or no flags serves on one device even
+    # on a multi-device host)
+    if (args.mesh_data is not None and args.mesh_data > 1) or args.mesh_pair > 1:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.mesh_data, pair=args.mesh_pair)

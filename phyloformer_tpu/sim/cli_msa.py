@@ -3,6 +3,7 @@ but running the native simulator by default (no IQ-TREE2 dependency).
 
     pf-simulate-alignments trees/ msas/ --length 500 --substitution LG --gamma GC
     pf-simulate-alignments trees/ msas/ --indels            # +GEO indels
+    pf-simulate-alignments trees/ msas/ --engine device     # batched on-TPU
     pf-simulate-alignments trees/ msas/ --engine iqtree2    # external passthrough
 """
 
@@ -33,8 +34,12 @@ def main(argv=None) -> int:
     p.add_argument("--allow-duplicate-sequences", action="store_true")
     p.add_argument("--max-attempts", type=int, default=20)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--engine", default="native", choices=["native", "iqtree2"],
-                   help="native simulator or external iqtree2 --alisim")
+    p.add_argument("--engine", default="native",
+                   choices=["native", "device", "iqtree2"],
+                   help="native CPU simulator, batched on-device (JAX) "
+                        "simulator, or external iqtree2 --alisim")
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="device-engine trees per jit dispatch")
     p.add_argument("--iqtree2-binary", default="iqtree2")
     args = p.parse_args(argv)
 
@@ -76,11 +81,31 @@ def main(argv=None) -> int:
             allow_duplicates=args.allow_duplicate_sequences,
         )
         failures = []
-        for tree_path in trees:
-            out = outdir / (tree_path.stem + ".fa")
-            ok, attempts = simulate_msa(tree_path, out, cfg, rng, prior)
-            if not ok:
-                failures.append((str(tree_path), attempts))
+        if args.engine == "device":
+            if args.indels:
+                # indels are sequential per-branch edits — CPU only
+                print("--engine device does not support --indels; "
+                      "falling back to the native CPU engine", file=sys.stderr)
+            else:
+                from ..data.fasta import write_fasta
+                from ..data.newick import read_newick
+                from .device import simulate_msas_device
+
+                nodes = [read_newick(t) for t in trees]
+                alns, attempts = simulate_msas_device(
+                    nodes, cfg, rng, prior, batch_size=args.batch_size
+                )
+                for tree_path, aln, att in zip(trees, alns, attempts):
+                    if aln is None:
+                        failures.append((str(tree_path), att))
+                    else:
+                        write_fasta(outdir / (tree_path.stem + ".fa"), aln)
+        if args.engine == "native" or (args.engine == "device" and args.indels):
+            for tree_path in trees:
+                out = outdir / (tree_path.stem + ".fa")
+                ok, attempts = simulate_msa(tree_path, out, cfg, rng, prior)
+                if not ok:
+                    failures.append((str(tree_path), attempts))
 
     if failures:  # reference failure summary (alisim.py:288-291)
         print(f"{len(failures)} simulations failed:", file=sys.stderr)

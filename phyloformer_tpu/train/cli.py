@@ -177,7 +177,19 @@ def main(argv=None) -> int:
     # so its horizon is measured in updates, not micro-batches.
     steps_per_epoch = -(-len(train_pairs) // args.batch_size)
     total_steps = args.max_steps or steps_per_epoch * args.nb_epochs
-    total_steps = max(1, total_steps // max(1, args.grad_accum))
+    accum = max(1, args.grad_accum)
+    total_steps = max(1, total_steps // accum)
+    # --warmup-steps is specified in micro-batches (reference flag units,
+    # train_distributed.py:151-159); convert to applied updates to match
+    warmup_steps = max(1, args.warmup_steps // accum) if args.warmup_steps else 0
+    if warmup_steps >= total_steps:
+        print(
+            f"warning: warmup ({warmup_steps} updates) >= schedule horizon "
+            f"({total_steps} updates) — the LR never reaches "
+            f"--learning-rate {args.learning_rate}; lower --warmup-steps "
+            "or raise --nb-epochs/--max-steps",
+            file=sys.stderr,
+        )
 
     if args.use_pallas == "auto":
         # default ON where the fused kernels exist (TPU) and dropout permits
@@ -192,7 +204,7 @@ def main(argv=None) -> int:
     tcfg = TrainConfig(
         loss=args.loss,
         learning_rate=args.learning_rate,
-        warmup_steps=args.warmup_steps,
+        warmup_steps=warmup_steps,
         total_steps=total_steps,
         remat=args.remat,
         seed=args.seed,
@@ -335,8 +347,22 @@ def find_batch_size(cfg, tcfg, mesh, n=50, L=512, start=4, limit=4096) -> int:
             state, logs = step(state, batch, jax.random.PRNGKey(0))
             jax.block_until_ready(logs["train_loss"])
             return True
-        except Exception:
-            return False
+        except Exception as e:  # noqa: BLE001 — filtered below
+            # Only capacity failures mean "doesn't fit".  Anything else
+            # (bad dtype, mesh mismatch, kernel bug) must surface, not
+            # silently shrink the reported batch size.
+            msg = f"{type(e).__name__}: {e}"
+            oom_markers = (
+                "RESOURCE_EXHAUSTED", "out of memory", "Out of memory",
+                "OOM", "exceeds the limit", "Attempting to allocate",
+                "exceeds memory", "Ran out of memory",
+            )
+            if any(m in msg for m in oom_markers):
+                return False
+            raise RuntimeError(
+                f"find_batch_size probe failed at batch={bs} with a "
+                f"non-memory error (not treating as OOM): {msg}"
+            ) from e
 
     good = 0
     bs = start

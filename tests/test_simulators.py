@@ -268,3 +268,53 @@ def test_mdef_frequency_mixture(tmp_path):
     # short branches keep states near equilibrium; composition must track
     # the mixture (A/R and Y/V each ~20.5%, others ~0.5%)
     assert np.abs(obs - expect).max() < 0.03
+
+
+def test_device_engine_distance_calibration():
+    """Batched on-device engine matches the analytic LG p_diff at t=0.3
+    (same check as the CPU evolver's calibration test) and produces
+    distinct, correctly-shaped alignments per tree."""
+    from phyloformer_tpu.sim.device import simulate_msas_device
+
+    rng = np.random.default_rng(7)
+    lg = get_model("LG")
+    t = 0.3
+    p = lg.transition_matrix(t)
+    expected_diff = 1.0 - (lg.freqs * np.diag(p)).sum()
+    trees = [
+        parse_newick(f"(A:{t / 2},B:{t / 2});"),
+        parse_newick("((A:0.05,B:0.05):0.3,(C:0.05,D:0.05):0.3);"),
+    ]
+    cfg = MsaSimConfig(substitution="LG", length=6000)
+    alns, attempts = simulate_msas_device(trees, cfg, rng, batch_size=2)
+    assert all(a is not None for a in alns)
+    assert alns[0].codes.shape == (2, 6000)
+    assert alns[1].codes.shape == (4, 6000)
+    observed = (alns[0].codes[0] != alns[0].codes[1]).mean()
+    assert observed == pytest.approx(expected_diff, abs=0.02)
+    # topology signal: close pairs more similar than far pairs
+    i = {name: k for k, name in enumerate(alns[1].ids)}
+    c = alns[1].codes
+    assert (c[i["A"]] != c[i["B"]]).mean() < (c[i["A"]] != c[i["C"]]).mean()
+
+
+def test_device_engine_cli(tmp_path):
+    """`pf-simulate-alignments --engine device` writes paired .fa files."""
+    import subprocess
+    import sys
+
+    treedir = tmp_path / "trees"
+    treedir.mkdir()
+    for k in range(3):
+        (treedir / f"{k}_4_tips.nwk").write_text(
+            "((A:0.1,B:0.1):0.2,(C:0.1,D:0.1):0.2);\n"
+        )
+    r = subprocess.run(
+        [sys.executable, "-m", "phyloformer_tpu.sim.cli_msa",
+         str(treedir), str(tmp_path / "msas"), "-l", "40",
+         "--engine", "device", "--seed", "5", "--batch-size", "2"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr
+    msas = sorted((tmp_path / "msas").glob("*.fa"))
+    assert [m.stem for m in msas] == [f"{k}_4_tips" for k in range(3)]
