@@ -548,6 +548,53 @@ class DeltaCache {
     }
   }
 
+  // Postorder halving of an arbitrary per-leaf-vertex base vector:
+  // out[d] = base[leaf vertex] at leaf directions, else the kids' mean.
+  // Used by the incremental BME construction to turn delta(S, {leaf})
+  // profiles into delta(S, sub(d)) for every direction in O(edges).
+  void mix_from_leafbase(const std::vector<double>& base,
+                         std::vector<double>* out) const {
+    out->resize(m_);
+    for (int d : order_) {
+      (*out)[d] = kids_[d][0] < 0
+                      ? base[head_[d]]
+                      : 0.5 * ((*out)[kids_[d][0]] + (*out)[kids_[d][1]]);
+    }
+  }
+
+  // Leaves of sub(d) with their balanced weights (2^{1-depth}; weights sum
+  // to 1): the leaf-mixture that defines delta(sub(d), .).  O(|sub(d)|).
+  void leaf_weights(int d, std::vector<std::pair<int, double>>* out) const {
+    out->clear();
+    std::vector<std::pair<int, double>> st{{d, 1.0}};
+    while (!st.empty()) {
+      auto [dd, wgt] = st.back();
+      st.pop_back();
+      if (kids_[dd][0] < 0) {
+        out->emplace_back(head_[dd], wgt);
+      } else {
+        st.emplace_back(kids_[dd][0], wgt * 0.5);
+        st.emplace_back(kids_[dd][1], wgt * 0.5);
+      }
+    }
+  }
+
+  // Store an externally-computed delta(sub(d1), sub(d2)) under the current
+  // version stamps (used to seed the table with the construction's
+  // incrementally-maintained sibling deltas so the NNI scan starts warm).
+  // Single-threaded use only, like version bumps.
+  void put(int d1, int d2, double val) {
+    Cell& c = cell_[static_cast<size_t>(d1) * mcap_ + d2];
+    c.val.store(val, std::memory_order_relaxed);
+    c.stamp.store((static_cast<uint64_t>(ver_[d1]) << 32) | ver_[d2],
+                  std::memory_order_release);
+    Cell& c2 = cell_[static_cast<size_t>(d2) * mcap_ + d1];
+    c2.val.store(val, std::memory_order_relaxed);
+    c2.stamp.store((static_cast<uint64_t>(ver_[d2]) << 32) | ver_[d1],
+                   std::memory_order_release);
+  }
+
+  int sz(int d) const { return sz_[d]; }
   int head(int d) const { return head_[d]; }
 
  private:
@@ -788,9 +835,22 @@ Tree bme_greedy_fast(const DistMatrix& dm, DeltaCache* cache) {
   cache->rebuild(t);
 
   std::vector<int> map = identity_map(t, dm);
-  std::vector<double> down;
+  // Incrementally-maintained sibling deltas: sib[v][i] = delta of the two
+  // subtrees hanging off internal vertex v beyond adj[v][j], j != i (the
+  // "omitted-edge" slot convention).  These are the only pair deltas the
+  // D&G insertion-cost recursion consumes, so maintaining them directly
+  // (O(1) per changed value via the 2^{-l} leaf-insertion update formula)
+  // removes every big-table lookup from the hot walk — the previous
+  // version refilled them lazily through the DeltaCache, which at n=2000
+  // was ~5 s of dependent random misses into a ~1 GiB table.
+  std::vector<std::array<double, 3>> sib(2 * n);
+  sib[c] = {dm(map[1], map[2]), dm(map[0], map[2]), dm(map[0], map[1])};
+
+  std::vector<double> down, rowtmp, smallbase, bigbase, smallvals, bigvals;
   std::vector<double> rel;
   std::vector<int> stack;
+  std::vector<std::pair<int, double>> leafw;
+  std::vector<std::array<int, 4>> bfs;  // (vertex, via-edge, t', far-flag)
   for (int k = 3; k < n; ++k) {
     cache->new_taxon_averages(map[k], &down);
     int ne = static_cast<int>(t.edges.size());
@@ -803,18 +863,21 @@ Tree bme_greedy_fast(const DistMatrix& dm, DeltaCache* cache) {
       for (int side = 0; side < 2; ++side) {
         int vtx = side == 0 ? t.edges[x].u : t.edges[x].v;
         if (vtx < t.n_leaves) continue;
-        int y = -1, z = -1;
-        for (int e2 : t.adj[vtx]) {
-          if (e2 == x) continue;
-          (y < 0 ? y : z) = e2;
+        int y = -1, z = -1, px = -1, py = -1, pz = -1;
+        for (int i = 0; i < 3; ++i) {
+          int e2 = t.adj[vtx][i];
+          if (e2 == x) px = i;
+          else if (y < 0) y = e2, py = i;
+          else z = e2, pz = i;
         }
         int Xd = away(t, x, vtx);
         for (int rep = 0; rep < 2; ++rep) {
-          int yy = rep == 0 ? y : z, zz = rep == 0 ? z : y;
+          int yy = rep == 0 ? y : z;
           if (!std::isnan(rel[yy])) continue;
-          int Yd = away(t, yy, vtx), Zd = away(t, zz, vtx);
-          rel[yy] = rel[x] + 0.25 * (down[Yd] - down[Xd] +
-                                     cache->at(Xd, Zd) - cache->at(Yd, Zd));
+          int Yd = away(t, yy, vtx);
+          double d_xz = sib[vtx][rep == 0 ? py : pz];  // delta(X, Z)
+          double d_yz = sib[vtx][px];                  // delta(Y, Z)
+          rel[yy] = rel[x] + 0.25 * (down[Yd] - down[Xd] + d_xz - d_yz);
           stack.push_back(yy);
         }
       }
@@ -824,18 +887,104 @@ Tree bme_greedy_fast(const DistMatrix& dm, DeltaCache* cache) {
     int best_e = -1;
     for (int e = 0; e < ne; ++e)
       if (rel[e] < best) best = rel[e], best_e = e;
-    // split best_e, attach leaf k (identical splice to bme_greedy_slow)
+
+    // --- per-insert averages around the split edge (old tree) -----------
     int u = t.edges[best_e].u, v = t.edges[best_e].v;
+    int d_to_v = away(t, best_e, u);  // subtree beyond v
+    int d_to_u = away(t, best_e, v);  // subtree beyond u
+    bool v_small = cache->sz(d_to_v) <= cache->sz(d_to_u);
+    int d_small = v_small ? d_to_v : d_to_u;
+    int d_big = v_small ? d_to_u : d_to_v;
+    cache->leaf_weights(d_small, &leafw);
+    // delta(smallside, {leaf i}) for every tree leaf: O(|small| * n) axpy
+    smallbase.assign(n, 0.0);
+    for (auto [lv, wgt] : leafw) {
+      const double* row = &dm.d[static_cast<size_t>(map[lv]) * dm.n];
+      for (int iv = 0; iv < n; ++iv) smallbase[iv] += wgt * row[map[iv]];
+    }
+    // smallvals[d] = delta(smallside, sub(d)), valid for d in the big side
+    cache->mix_from_leafbase(smallbase, &smallvals);
+    // delta(bigside, {leaf i}) for i in the small side (O(|small|) halving
+    // passes), then bigvals[d] = delta(bigside, sub(d)) for d in the small
+    bigbase.assign(n, 0.0);
+    for (auto [lv, wgt] : leafw) {
+      cache->new_taxon_averages(map[lv], &rowtmp);
+      bigbase[lv] = rowtmp[d_big];
+    }
+    cache->mix_from_leafbase(bigbase, &bigvals);
+    double split = 0.0;  // delta(two sides of best_e)
+    for (auto [lv, wgt] : leafw) split += wgt * bigbase[lv];
+    double down_v = down[d_to_v], down_u = down[d_to_u];
+
+    // --- splice best_e, attach leaf k (same surgery as bme_greedy_slow),
+    // mirroring v's adjacency reorder onto its sibling-delta slots --------
     double half = t.edges[best_e].len / 2;
     int m = t.new_node();
+    if (static_cast<size_t>(m) >= sib.size()) sib.resize(m + 1);
     t.edges[best_e] = {u, m, half};
     auto& av = t.adj[v];
-    av.erase(std::find(av.begin(), av.end(), best_e));
-    t.adj[m].push_back(best_e);
-    t.add_edge(m, v, half);
+    if (v >= t.n_leaves) {
+      int pos = static_cast<int>(
+          std::find(av.begin(), av.end(), best_e) - av.begin());
+      double keep = sib[v][pos];
+      sib[v][pos] = sib[v][2];
+      sib[v][2] = keep;  // value follows its omitted edge to the back slot
+      std::swap(av[pos], av[2]);
+      av.pop_back();
+      t.adj[m].push_back(best_e);
+      t.add_edge(m, v, half);  // lands in av[2]: slot value stays aligned
+    } else {
+      av.erase(std::find(av.begin(), av.end(), best_e));
+      t.adj[m].push_back(best_e);
+      t.add_edge(m, v, half);
+    }
     t.add_edge(m, k, 0.0);
+    // new junction's own sibling deltas: adj[m] = [best_e(u), e_v, e_k]
+    sib[m] = {down_v, down_u, split};
+
+    // --- O(1) updates of every sibling delta whose pair gained leaf k ---
+    // For internal vertex w at junction distance t' from m (t'(u)=t'(v)=1),
+    // the two slots pairing w's toward-m subtree A with a pendant B become
+    //   delta(A+{k}, B) = delta(A, B) + 2^{-t'} (delta(k,B) - delta(F,B))
+    // where F is the far half of the split edge as seen from w.  delta(k,B)
+    // is this insert's down[]; delta(F,B) is smallvals/bigvals above.
+    // entries: (vertex, via-edge toward m, t', far-is-smallvals flag).
+    // A viewer's far half is the OPPOSITE side of the split edge, and the
+    // flag is inherited unchanged as the BFS walks outward on one side.
+    bfs.clear();
+    if (u >= t.n_leaves) bfs.push_back({u, best_e, 1, v_small ? 1 : 0});
+    if (v >= t.n_leaves) bfs.push_back({v, t.adj[v][2], 1, v_small ? 0 : 1});
+    for (size_t qi = 0; qi < bfs.size(); ++qi) {
+      auto [w, via, tp, far_small] = bfs[qi];
+      const std::vector<double>& far = far_small ? smallvals : bigvals;
+      double coef = std::ldexp(1.0, -tp);
+      int py = -1, pz = -1, y = -1, z = -1;
+      for (int i = 0; i < 3; ++i) {
+        int e2 = t.adj[w][i];
+        if (e2 == via) continue;
+        if (y < 0) y = e2, py = i;
+        else z = e2, pz = i;
+      }
+      int Yd = away(t, y, w), Zd = away(t, z, w);
+      sib[w][py] += coef * (down[Zd] - far[Zd]);
+      sib[w][pz] += coef * (down[Yd] - far[Yd]);
+      int wy = t.other(y, w), wz = t.other(z, w);
+      if (wy >= t.n_leaves) bfs.push_back({wy, y, tp + 1, far_small});
+      if (wz >= t.n_leaves) bfs.push_back({wz, z, tp + 1, far_small});
+    }
     cache->rebuild(t);
     cache->invalidate_containing({m});
+  }
+  // Seed the shared cache with the final sibling deltas so the NNI scan
+  // (whose refill recursions bottom out on exactly these cells) starts warm.
+  for (int v2 = t.n_leaves; v2 < t.n_nodes(); ++v2) {
+    const auto& a3 = t.adj[v2];
+    if (a3.size() != 3) continue;
+    int d0 = away(t, a3[0], v2), d1 = away(t, a3[1], v2),
+        d2 = away(t, a3[2], v2);
+    cache->put(d1, d2, sib[v2][0]);
+    cache->put(d0, d2, sib[v2][1]);
+    cache->put(d0, d1, sib[v2][2]);
   }
   return t;
 }

@@ -302,3 +302,42 @@ def test_fast_spr_matches_slow_reference(tmp_path):
         assert r.returncode == 0, r.stderr
         lengths[tag] = pauplin_length(phy, out.read_text())
     assert lengths["fast"] == pytest.approx(lengths["slow"], abs=1e-9)
+
+
+def test_fast_bme_construction_matches_slow_reference(tmp_path):
+    """The incremental sibling-delta BME construction (O(n^2), default)
+    must produce the same tree — topology AND branch lengths — as the
+    O(n^3) full-table reference construction (PFTREE_SLOW_BME=1), on both
+    additive and noisy random matrices."""
+    import os
+    import subprocess
+
+    from phyloformer_tpu.data.phylip import matrix_to_phylip as _to_phylip
+
+    build = Path(native.__file__).resolve().parent.parent.parent / "native" / "build"
+    rng = np.random.default_rng(42)
+    cases = []
+    for n in (8, 40, 120):
+        true = _random_tree(rng, n)
+        ids = sorted(true.leaf_names())
+        dm, _ = patristic_matrix(true, ids)
+        cases.append((f"add{n}", dm, ids))
+        noise = rng.normal(0, 0.1, dm.shape)
+        noise = (noise + noise.T) / 2
+        np.fill_diagonal(noise, 0)
+        cases.append((f"noisy{n}", np.abs(dm + noise), ids))
+    for tag, dm, ids in cases:
+        mat = tmp_path / f"{tag}.phy"
+        mat.write_text(_to_phylip(dm, ids))
+        trees = {}
+        for mode, env in (("fast", {}), ("slow", {"PFTREE_SLOW_BME": "1"})):
+            r = subprocess.run(
+                [str(build / "pf-fastme"), "-i", str(mat)],
+                capture_output=True, text=True, timeout=300,
+                env=dict(os.environ, **env),
+            )
+            assert r.returncode == 0, r.stderr
+            trees[mode] = r.stdout
+        cmp = native.compare_newick(trees["fast"], trees["slow"])
+        assert cmp.rf == 0, f"{tag}: fast/slow topologies differ"
+        assert cmp.kf == pytest.approx(0.0, abs=1e-7), f"{tag}: lengths differ"
