@@ -112,7 +112,21 @@ def main(argv=None) -> int:
         if not paths:
             return 0
 
-    alns = [read_fasta(p) for p in paths]
+    alns, skipped = [], []
+    kept_paths = []
+    for p in paths:
+        try:
+            alns.append(read_fasta(p))
+            kept_paths.append(p)
+        except ValueError as e:
+            # name the offending file, keep going with the rest (the
+            # reference dies mid-directory with a bare traceback here)
+            skipped.append(p)
+            print(f"pf-infer: skipping {p}: {e}", file=sys.stderr)
+    paths = kept_paths
+    if not alns:
+        print("pf-infer: no readable alignments", file=sys.stderr)
+        return 1
 
     icfg = InferenceConfig(
         max_batch_tokens=args.batch_tokens,
@@ -169,6 +183,12 @@ def main(argv=None) -> int:
             alignments_per_s=round(len(alns) / infer_s, 4) if infer_s else None,
         )
         print(json.dumps(stats))
+    if skipped:
+        print(
+            f"pf-infer: {len(skipped)} unreadable alignment(s) skipped",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 
