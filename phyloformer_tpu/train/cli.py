@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     data.add_argument("--packed-data", default=None,
                       help="preprocessed shard dir from pf-preprocess "
                            "(alternative to --train-trees/--train-alignments)")
+    data.add_argument("--packed-val-fraction", type=float, default=0.1,
+                      help="held-out fraction of a --packed-data corpus used "
+                           "as the val set (0 disables; reference-style "
+                           "seeded 90/10 auto-split)")
     data.add_argument("--val-trees", "-T", default=None)
     data.add_argument("--val-alignments", "-A", default=None)
     data.add_argument("--train-regex", "-r", default=None)
@@ -140,12 +144,28 @@ def main(argv=None) -> int:
     )
 
     packed_ds = None
+    packed_val = None
     if args.packed_data:
-        from .packed import PackedDataset
+        import random as _random
 
-        packed_ds = PackedDataset(args.packed_data)
+        from .packed import PackedDataset, PackedSubset
+
+        full = PackedDataset(args.packed_data)
+        if args.packed_val_fraction > 0:
+            # reference auto-split semantics: seeded shuffle, 90/10
+            # (train_distributed.py:89-93)
+            idx = list(range(len(full)))
+            _random.Random(args.seed).shuffle(idx)
+            n_val = max(1, int(len(idx) * args.packed_val_fraction))
+            packed_ds = PackedSubset(full, idx[n_val:])
+            packed_val = PackedSubset(full, idx[:n_val])
+        else:
+            packed_ds = full
         train_pairs, val_pairs = [None] * len(packed_ds), []
-        print(f"packed train examples: {len(packed_ds)}")
+        print(
+            f"packed train examples: {len(packed_ds)}"
+            + (f", val examples: {len(packed_val)}" if packed_val else "")
+        )
     else:
         if not (args.train_trees and args.train_alignments):
             print("need --train-trees/--train-alignments or --packed-data",
@@ -227,7 +247,13 @@ def main(argv=None) -> int:
         from .packed import PackedBucketedLoader
 
         train_loader = PackedBucketedLoader(packed_ds, lcfg)
-        val_loader = None
+        val_loader = (
+            PackedBucketedLoader(
+                packed_val, dataclasses.replace(lcfg, shuffle=False)
+            )
+            if packed_val is not None
+            else None
+        )
     else:
         train_loader = BucketedLoader(train_pairs, lcfg)
         val_loader = (

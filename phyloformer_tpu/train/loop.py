@@ -210,9 +210,12 @@ def fit(
 
     def run_validation():
         nonlocal best_val, bad_checks, stop_reason
-        if val_loader is None:
-            return
-        metrics = evaluate(eval_step, state["params"], map(prep, val_loader))
+        # no val set (e.g. --packed-data without a val dir): still
+        # checkpoint on the validation cadence — a multi-hour run that
+        # saves nothing until the end is not resumable after preemption
+        metrics = {}
+        if val_loader is not None:
+            metrics = evaluate(eval_step, state["params"], map(prep, val_loader))
         if metrics:
             logger.log(step, **metrics)
             val_loss = metrics.get("val_loss", math.inf)

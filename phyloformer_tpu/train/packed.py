@@ -105,6 +105,23 @@ class PackedDataset:
         return self._examples[i][1]["id"]
 
 
+class PackedSubset:
+    """Index-subset view of a :class:`PackedDataset` (train/val splits)."""
+
+    def __init__(self, dataset: PackedDataset, indices):
+        self.ds = dataset
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.ds[self.indices[i]]
+
+    def example_id(self, i: int) -> str:
+        return self.ds.example_id(self.indices[i])
+
+
 class PackedBucketedLoader:
     """Bucketed batch iterator over a :class:`PackedDataset` (same batch
     schema as ``BucketedLoader``, no parsing in the loop)."""
