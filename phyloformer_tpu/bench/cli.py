@@ -71,6 +71,20 @@ def main(argv=None) -> int:
     pm.add_argument("data_dir")
     pm.add_argument("-o", "--outdir", required=True)
 
+    pa = sub.add_parser(
+        "accuracy-grid",
+        help="fused-kernel drift vs fp32 oracle across (n, L) grid corners",
+    )
+    pa.add_argument("--weights", default="/root/reference/models/pf.ckpt")
+    pa.add_argument("--grid", default=None,
+                    help="comma-separated nxL corners, e.g. '50x250,200x1000' "
+                         "(default: the calibrated 5-corner envelope)")
+    pa.add_argument("--reps", type=int, default=2)
+    pa.add_argument("--seed", type=int, default=0)
+    pa.add_argument("--max-rel", type=float, default=0.01,
+                    help="fail (exit 1) if any corner's relative drift "
+                         "exceeds this (measured envelope: 0.34-0.56%%)")
+
     pt = sub.add_parser("throughput", help="synthetic-throughput benchmark")
     pt.add_argument("weights")
     pt.add_argument("--tips", type=int, default=60)
@@ -187,6 +201,22 @@ def main(argv=None) -> int:
                 k for k, v in rendered.items() if v is None),
         }, indent=2))
         return 0
+
+    if args.cmd == "accuracy-grid":
+        from .accuracy import DEFAULT_GRID, check_rows, drift_grid
+
+        grid = DEFAULT_GRID
+        if args.grid:
+            grid = tuple(
+                tuple(int(v) for v in corner.lower().split("x"))
+                for corner in args.grid.split(",")
+            )
+        rows = drift_grid(args.weights, grid, reps=args.reps, seed=args.seed)
+        for r in rows:
+            print(json.dumps(r))
+        ok, msg = check_rows(rows, args.max_rel)
+        print(msg)
+        return 0 if ok else 1
 
     if args.cmd == "throughput":
         import numpy as np

@@ -107,13 +107,18 @@ class InferenceEngine:
         if fn is None:
             jax, cfg = self._jax, self.cfg
             use_pallas = self.icfg.use_pallas
+            # off-TPU the fused kernels only exist in interpret mode (the
+            # sharded engine path does the same) — lets the accuracy-grid
+            # command and CPU CI drive the exact fused code path
+            interpret = jax.default_backend() != "tpu"
 
             def run(params, codes, site_mask, seq_mask):
                 if use_pallas:
                     from ..models.phyloformer import forward_fused
 
                     out = forward_fused(
-                        params, codes, cfg, site_mask=site_mask, seq_mask=seq_mask
+                        params, codes, cfg, site_mask=site_mask,
+                        seq_mask=seq_mask, interpret=interpret,
                     )
                 else:
                     out = forward(

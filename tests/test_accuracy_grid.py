@@ -1,0 +1,40 @@
+"""`pf-bench accuracy-grid` (VERDICT r2 #8): the drift-envelope re-measurement
+is one command.  On CPU the engine runs the fused kernels in interpret mode,
+so this exercises the exact code path the TPU envelope check uses."""
+
+import json
+
+from phyloformer_tpu.bench.accuracy import check_rows, drift_grid
+from phyloformer_tpu.bench.cli import main as bench_main
+
+PF = "/root/reference/models/pf.ckpt"
+
+
+def test_drift_grid_small_corner():
+    rows = drift_grid(PF, grid=[(8, 16)], reps=1)
+    assert len(rows) == 1
+    r = rows[0]
+    assert "error" not in r, r
+    # interpret-mode fused vs XLA fp32 on CPU: small but nonzero drift
+    assert r["rel"] < 1e-2
+    ok, msg = check_rows(rows, max_rel=1e-2)
+    assert ok, msg
+
+
+def test_check_rows_flags_errors_and_gate():
+    ok, msg = check_rows([{"n": 1, "L": 2, "error": "boom"}], 1.0)
+    assert not ok and "boom" in msg
+    ok, _ = check_rows([{"n": 8, "L": 16, "rel": 0.5, "oracle": "x"}], 0.01)
+    assert not ok
+    ok, _ = check_rows([], 0.01)
+    assert not ok
+
+
+def test_cli_accuracy_grid(capsys):
+    rc = bench_main(["accuracy-grid", "--grid", "8x16", "--reps", "1",
+                     "--weights", PF])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    row = json.loads(out[0])
+    assert row["n"] == 8 and row["L"] == 16
+    assert "worst rel drift" in out[-1]

@@ -13,63 +13,26 @@ docs/performance.md round-2 notes).
 """
 
 import json
-import time
 
 import numpy as np
 
-from phyloformer_tpu.data.fasta import Alignment
-from phyloformer_tpu.infer.engine import InferenceConfig, InferenceEngine
+from phyloformer_tpu.bench.accuracy import DEFAULT_GRID, drift_grid, make_engines
 from phyloformer_tpu.io import load_pretrained
 
-GRID = [(50, 250), (100, 250), (100, 1000), (200, 250), (200, 1000)]
-XLA_FP32_MAX_TOKENS = 100 * 99 // 2 * 1024  # beyond this use fused-HIGHEST
+GRID = list(DEFAULT_GRID)
 
 
 def engines(params, cfg, n, l):
-    bucket = dict(n_buckets=(n,), l_buckets=(256 if l <= 250 else 1024,))
-    fast = InferenceEngine(params, cfg, InferenceConfig(
-        matmul_precision="tensorfloat32", use_pallas=True,
-        max_batch_tokens=1 << 23, **bucket))
-    pairs_tokens = n * (n - 1) // 2 * (256 if l <= 250 else 1024)
-    if pairs_tokens <= XLA_FP32_MAX_TOKENS:
-        oracle = InferenceEngine(params, cfg, InferenceConfig(
-            matmul_precision="float32", max_batch_tokens=1 << 23, **bucket))
-        oracle_name = "xla_fp32"
-    else:
-        oracle = InferenceEngine(params, cfg, InferenceConfig(
-            matmul_precision="float32", use_pallas=True,
-            max_batch_tokens=1 << 23, **bucket))
-        oracle_name = "fused_highest"
-    return fast, oracle, oracle_name
+    return make_engines(params, cfg, n, l)
 
 
 def main():
+    # drift grid is now a first-class command: `pf-bench accuracy-grid`
+    # (phyloformer_tpu/bench/accuracy.py); this tool adds the KF-neutrality
+    # end-metric check on top.
     params, cfg, _ = load_pretrained("/root/reference/models/pf.ckpt")
-    rng = np.random.default_rng(0)
-    rows = []
-    for n, l in GRID:
-        alns = [
-            Alignment(codes=rng.integers(0, 20, (n, l)).astype(np.int8),
-                      ids=[f"T{j}" for j in range(n)])
-            for _ in range(2)
-        ]
-        fast, oracle, oracle_name = engines(params, cfg, n, l)
-        try:
-            t0 = time.perf_counter()
-            got = fast.predict(alns)
-            fast_s = time.perf_counter() - t0
-            want = oracle.predict(alns)
-        except Exception as err:  # OOM/compile limits at the grid corner
-            rows.append({"n": n, "L": l, "oracle": oracle_name,
-                         "error": f"{type(err).__name__}: {err}"[:200]})
-            print(json.dumps(rows[-1]), flush=True)
-            continue
-        abs_err = max(float(np.abs(a - b).max()) for a, b in zip(got, want))
-        scale = max(float(np.abs(b).max()) for b in want)
-        rows.append({"n": n, "L": l, "oracle": oracle_name,
-                     "max_abs_err": abs_err, "rel": abs_err / scale,
-                     "fused_s_for_2": round(fast_s, 2)})
-        print(json.dumps(rows[-1]), flush=True)
+    for row in drift_grid("/root/reference/models/pf.ckpt", GRID):
+        print(json.dumps(row), flush=True)
 
     # ---- end-metric neutrality at 100 tips x 1000 sites ----
     from phyloformer_tpu.data.newick import patristic_matrix
