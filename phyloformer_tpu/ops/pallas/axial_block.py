@@ -303,7 +303,8 @@ def _kernel_a2(
         stats_ref[0] += part
 
 
-def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 8 * 1024 * 1024) -> int:
+def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 8 * 1024 * 1024,
+               highest: bool = False) -> int:
     """Pair-tile size: keep the live tile tensors under a VMEM budget.
 
     With head-expanded d-wide tensors throughout, ~7 live (row, L, d)
@@ -321,8 +322,12 @@ def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 8 * 1024 * 1024) -> i
     # footprint ceiling: pt*l <= 4096 row-units is the largest configuration
     # verified to compile within the 16 MiB scope (pt=16 at L=256 measured
     # +2.6% throughput over pt=8; pt=4 at L=1024 and pt=2 at L=2048 sit at
-    # or below the same footprint)
-    pt = min(pt, max(1, 4096 // max(l, 1)))
+    # or below the same footprint).  HIGHEST-precision matmuls need more
+    # scratch per row: the residual variant at pt=16/L=256 exceeded scoped
+    # VMEM by 3.7M (pf-train's float32 default, caught round 3), so the
+    # HIGHEST ceiling is halved — pt=8/L=256 is the round-1-verified shape.
+    row_units = 2048 if highest else 4096
+    pt = min(pt, max(1, row_units // max(l, 1)))
     pt = max(1, min(pt, p, 256))
     if pt >= 8:
         return (pt // 8) * 8
@@ -396,7 +401,7 @@ def _fused_block_impl(
         return _fused_block_ltiled_impl(
             x, layer, site_mask, pair_mask, n_heads, eps, interpret, prec
         )
-    pt = _pick_tile(p, l, d)
+    pt = _pick_tile(p, l, d, highest=prec == jax.lax.Precision.HIGHEST)
     # pad the pair axis to a tile multiple (mask guarantees no-op padding)
     p_pad = -(-p // pt) * pt
     if p_pad != p:
@@ -692,7 +697,7 @@ def fused_kernel_a(
             x1 = x1[:, :p, :l]
             stats = stats[:, :l]
         return x1, stats
-    pt = _pick_tile(p, l, d)
+    pt = _pick_tile(p, l, d, highest=prec == jax.lax.Precision.HIGHEST)
     p_pad = -(-p // pt) * pt
     if p_pad != p:
         x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, 0), (0, 0)))

@@ -756,16 +756,26 @@ def fused_axial_block_bwd(
     # HIGHEST mode (3-pass matmuls incl. the expand/contract helpers)
     # measured 20.1 MB at pt=8/L=256 — halved tiles there; DEFAULT mode
     # compiles at pt=8 (expand/contract follow the kernel precision).
-    pt_c = _pick_tile_bwd(p, lt, d, live_rows=18, floor=4 if hi else 8,
-                          budget_bytes=(2 if hi else 4) * 1024 * 1024)
+    # Env escape hatches (0 = auto): the scoped-VMEM fit is sensitive not
+    # just to our block shapes but to XLA's surrounding layout choices —
+    # small p_pad buckets have measured ~100 KB over the 16 MiB scope at
+    # tile sizes that fit for large p_pad (round 3, n=10 training bucket).
+    import os as _os
+
+    _env_pt_c = int(_os.environ.get("PF_PALLAS_BWD_PT_C", "0"))
+    _env_pt_e = int(_os.environ.get("PF_PALLAS_BWD_PT_E", "0"))
+    pt_c = _env_pt_c or _pick_tile_bwd(
+        p, lt, d, live_rows=18, floor=4 if hi else 8,
+        budget_bytes=(2 if hi else 4) * 1024 * 1024)
     # Row backward: ~2.1 MB/row measured at L=256 (16.68 MB at pt=8), so an
     # 8 MiB target inside the 16 MiB scope picks pt=4 at L=256, 2 at L=512,
     # 1 at L=1024 (pt=2 there measured over the scope).  Beyond the resident
     # cap the L-tiled E1/E2 pair takes over — its site tile is kernel C's
     # lt, and its pair tile a power of two <= 8 so pt_pad stays divisible.
     resident_e = l <= _BWD_RESIDENT_SITES_MAX
-    pt_e = _pick_tile_bwd(p, l if resident_e else lt, d, live_rows=28,
-                          floor=1, budget_bytes=(4 if hi else 8) * 1024 * 1024)
+    pt_e = _env_pt_e or _pick_tile_bwd(
+        p, l if resident_e else lt, d, live_rows=28,
+        floor=1, budget_bytes=(4 if hi else 8) * 1024 * 1024)
     if not resident_e:
         pt_e = min(8, 1 << max(0, pt_e.bit_length() - 1))
     # One padding serves all kernels: multiple of every tile (powers of two).

@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     arch.add_argument("--nb-blocks", "-b", type=int, default=6)
     arch.add_argument("--embed-dim", "-d", type=int, default=64)
     arch.add_argument("--nb-heads", "-H", type=int, default=4)
+    arch.add_argument("--matmul-precision", default="float32",
+                      choices=["float32", "tensorfloat32", "default"],
+                      help="MXU pass mode: float32 = full-precision parity "
+                           "(reference numerics); tensorfloat32 = 3-pass "
+                           "bf16; default = single-pass bf16 with fp32 "
+                           "accumulation (fastest; standard TPU mixed "
+                           "precision — fused kernels run DEFAULT-precision "
+                           "matmuls under this setting)")
 
     train = p.add_argument_group("training")
     train.add_argument("--nb-epochs", "-e", type=int, default=100)
@@ -141,6 +149,7 @@ def main(argv=None) -> int:
         n_heads=args.nb_heads,
         embed_dim=args.embed_dim,
         dropout=args.dropout,
+        matmul_precision=args.matmul_precision,
     )
 
     packed_ds = None
