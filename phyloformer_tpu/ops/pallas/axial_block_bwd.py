@@ -764,8 +764,13 @@ def fused_axial_block_bwd(
 
     _env_pt_c = int(_os.environ.get("PF_PALLAS_BWD_PT_C", "0"))
     _env_pt_e = int(_os.environ.get("PF_PALLAS_BWD_PT_E", "0"))
+    # Small-p buckets (training's n<=40 shapes) measured 103 KB over the
+    # scope at pt_c=8/L=256 DEFAULT — XLA spills small custom-call outputs
+    # into VMEM in those fusion contexts — while pt_c=4 compiles and runs
+    # at every bucket (80-step on-chip probe, round 3).  Large p keeps the
+    # round-2-measured pt_c=8.
     pt_c = _env_pt_c or _pick_tile_bwd(
-        p, lt, d, live_rows=18, floor=4 if hi else 8,
+        p, lt, d, live_rows=18, floor=4 if (hi or p < 1024) else 8,
         budget_bytes=(2 if hi else 4) * 1024 * 1024)
     # Row backward: ~2.1 MB/row measured at L=256 (16.68 MB at pt=8), so an
     # 8 MiB target inside the 16 MiB scope picks pt=4 at L=256, 2 at L=512,

@@ -30,7 +30,7 @@ def main():
     from phyloformer_tpu.io import load_pretrained
     from phyloformer_tpu.trees import native
 
-    params, cfg, _ = load_pretrained(args.weights)
+    params, cfg, meta = load_pretrained(args.weights)
     engine = InferenceEngine(params, cfg, InferenceConfig())
     msas = sorted(Path(args.msas).glob("*.fa"))
     alns = [read_fasta(p) for p in msas]
@@ -45,6 +45,7 @@ def main():
         kfs.append(cmp.kf)
     print(json.dumps({
         "weights": args.weights,
+        "step": meta.get("step"),
         "mean_kf": float(np.mean(kfs)),
         "median_kf": float(np.median(kfs)),
         "n": len(kfs),
