@@ -42,6 +42,7 @@ def test_train_cli_end_to_end(sim_dataset, tmp_path):
         "--batch-size", 2, "--max-steps", 3, "--check-val-every", 2,
         "--log-every", 1, "-o", tmp_path, "--run-name", "cli_smoke",
         "--warmup-steps", 1, "--hard-loss-ceiling", 1e6,
+        "--matmul-precision", "default",
     )
     assert r.returncode == 0, r.stderr[-800:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
