@@ -23,8 +23,13 @@ import numpy as np
 from ..data.fasta import Alignment
 from ..infer.engine import InferenceConfig, InferenceEngine
 
+# The measurable single-chip corners.  (200, 1000) is excluded: that corner
+# is HBM-infeasible on EVERY single-chip path (docs/ROADMAP.md round-2
+# finding — ~5.2 GB per live activation tensor at batch 1) and is served by
+# the sharded fused engine on a mesh; pass it via --grid explicitly to
+# re-probe (it reports an error row rather than crashing).
 DEFAULT_GRID: Tuple[Tuple[int, int], ...] = (
-    (50, 250), (100, 250), (100, 1000), (200, 250), (200, 1000),
+    (50, 250), (100, 250), (100, 1000), (200, 250),
 )
 # pair-tokens ceiling under which the XLA fp32 path fits single-chip HBM
 XLA_FP32_MAX_TOKENS = 100 * 99 // 2 * 1024

@@ -323,10 +323,13 @@ def _pick_tile(p: int, l: int, d: int, budget_bytes: int = 8 * 1024 * 1024,
     # verified to compile within the 16 MiB scope (pt=16 at L=256 measured
     # +2.6% throughput over pt=8; pt=4 at L=1024 and pt=2 at L=2048 sit at
     # or below the same footprint).  HIGHEST-precision matmuls need more
-    # scratch per row: the residual variant at pt=16/L=256 exceeded scoped
-    # VMEM by 3.7M (pf-train's float32 default, caught round 3), so the
-    # HIGHEST ceiling is halved — pt=8/L=256 is the round-1-verified shape.
-    row_units = 2048 if highest else 4096
+    # scratch per row at short L — measured on chip (round 3): pt=16/L=256
+    # overflows by 3.7-7.7M in training/eval fusion contexts while
+    # pt=8/L=256 compiles (round-1 fp32 kernels ran it), and at L=1024
+    # pt=4 compiles (round-2 fused_highest oracle) while pt=2 does NOT —
+    # so the HIGHEST ceiling halves only at short L rather than scaling
+    # linearly.
+    row_units = (2048 if l <= 512 else 4096) if highest else 4096
     pt = min(pt, max(1, row_units // max(l, 1)))
     pt = max(1, min(pt, p, 256))
     if pt >= 8:
@@ -359,6 +362,12 @@ def fused_axial_block(
     return _fused_block_impl(
         x, layer, site_mask, pair_mask, n_heads, eps, interpret, mxu_precision
     )[0]
+
+
+# XLA decides per fusion context whether small custom-call outputs spill
+# into the 16 MiB scope, so tile fits must be validated in the worst
+# context; the HIGHEST ceilings in _pick_tile encode the round-3 on-chip
+# measurements across engine, eval_fn, and jvp-of-residual contexts.
 
 
 @functools.partial(

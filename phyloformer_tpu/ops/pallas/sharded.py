@@ -315,7 +315,7 @@ def _kernel_b_host(x1, stats, pair_count, layer, n_heads, eps, interpret,
     )
     if l <= resident_max:
         lt = l
-        pt = _pick_tile(p, l, d)
+        pt = _pick_tile(p, l, d, highest=prec == jax.lax.Precision.HIGHEST)
     else:  # L-tiled: same per-site kernel B, extra site grid dimension
         pt, lt = _ltiled_tiles(p, l)
     l_pad = -(-l // lt) * lt
