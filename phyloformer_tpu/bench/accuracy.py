@@ -54,10 +54,13 @@ def make_engines(params, cfg, n: int, l: int):
     interpret mode automatically, so the same command exercises the code
     path (not the envelope) in CPU CI.
     """
+    buckets = _bucket(n, l)
     fast = InferenceEngine(params, cfg, InferenceConfig(
         matmul_precision="tensorfloat32", use_pallas=True,
-        max_batch_tokens=1 << 23, **_bucket(n, l)))
-    pairs_tokens = n * (n - 1) // 2 * (256 if l <= 250 else 1024)
+        max_batch_tokens=1 << 23, **buckets))
+    # oracle-selection threshold uses the SAME l-bucket the engines run
+    # (small custom corners land on the 32/64 rungs, not 256)
+    pairs_tokens = n * (n - 1) // 2 * buckets["l_buckets"][0]
     if pairs_tokens <= XLA_FP32_MAX_TOKENS:
         oracle = InferenceEngine(params, cfg, InferenceConfig(
             matmul_precision="float32", max_batch_tokens=1 << 23,
@@ -101,6 +104,10 @@ def drift_grid(
             continue
         abs_err = max(float(np.abs(a - b).max()) for a, b in zip(got, want))
         scale = max(float(np.abs(b).max()) for b in want)
+        if scale == 0.0:  # degenerate corner (identically-zero oracle output)
+            rows.append({"n": n, "L": l, "oracle": oracle_name,
+                         "error": "oracle output identically zero"})
+            continue
         rows.append({"n": n, "L": l, "oracle": oracle_name,
                      "max_abs_err": abs_err, "rel": abs_err / scale,
                      "fused_s": round(fast_s, 3)})

@@ -78,7 +78,7 @@ def main(argv=None) -> int:
     pa.add_argument("--weights", default="/root/reference/models/pf.ckpt")
     pa.add_argument("--grid", default=None,
                     help="comma-separated nxL corners, e.g. '50x250,200x1000' "
-                         "(default: the calibrated 5-corner envelope)")
+                         "(default: the calibrated single-chip envelope)")
     pa.add_argument("--reps", type=int, default=2)
     pa.add_argument("--seed", type=int, default=0)
     pa.add_argument("--max-rel", type=float, default=0.01,

@@ -762,8 +762,27 @@ def fused_axial_block_bwd(
     # tile sizes that fit for large p_pad (round 3, n=10 training bucket).
     import os as _os
 
-    _env_pt_c = int(_os.environ.get("PF_PALLAS_BWD_PT_C", "0"))
-    _env_pt_e = int(_os.environ.get("PF_PALLAS_BWD_PT_E", "0"))
+    def _env_tile(name: str) -> int:
+        """Parse a tile override: must be 0 (auto) or a power of two.
+
+        Powers of two keep the 'pt_pad is a multiple of every tile'
+        invariant below (pt_pad = max(tiles, 8) only divides evenly when
+        the tiles are powers of two); anything else would silently
+        misalign the kernel grids."""
+        raw = _os.environ.get(name, "0")
+        try:
+            v = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"{name}={raw!r}: expected an integer (0 = auto)") from None
+        if v < 0 or (v & (v - 1)):
+            raise ValueError(
+                f"{name}={v}: tile override must be 0 (auto) or a power of "
+                f"two so the shared pair padding divides every kernel tile")
+        return v
+
+    _env_pt_c = _env_tile("PF_PALLAS_BWD_PT_C")
+    _env_pt_e = _env_tile("PF_PALLAS_BWD_PT_E")
     # Small-p buckets (training's n<=40 shapes) measured 103 KB over the
     # scope at pt_c=8/L=256 DEFAULT — XLA spills small custom-call outputs
     # into VMEM in those fusion contexts — while pt_c=4 compiles and runs

@@ -128,3 +128,53 @@ def test_find_batch_size_surfaces_non_oom_errors():
     tcfg = TrainConfig(loss="definitely-not-a-loss", total_steps=2)
     with pytest.raises(RuntimeError, match="non-memory"):
         find_batch_size(cfg, tcfg, mesh=None, n=6, L=8, start=1, limit=1)
+
+
+def test_oom_classifier_handles_reworded_messages():
+    """A toolchain that rewords its OOM message must still classify as a
+    capacity failure (type + 'alloc'/'memory'/'hbm' fallback), while
+    unrelated errors from the same exception types must not."""
+    from phyloformer_tpu.train.cli import _is_oom_error
+
+    class XlaRuntimeError(Exception):
+        pass
+
+    # exact markers (any exception type)
+    assert _is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: ..."))
+    assert _is_oom_error(ValueError("Ran out of memory during compile"))
+    # reworded messages: classified by type + case-insensitive keywords
+    assert _is_oom_error(XlaRuntimeError("failed to Allocate 24.1GiB"))
+    assert _is_oom_error(XlaRuntimeError("insufficient HBM for program"))
+    # same type, non-memory message -> NOT an OOM
+    assert not _is_oom_error(XlaRuntimeError("invalid sharding spec"))
+    # memory-ish words on an arbitrary exception type -> NOT an OOM
+    assert not _is_oom_error(KeyError("memory_layout"))
+
+
+def test_pallas_bwd_tile_env_validation(monkeypatch):
+    """PF_PALLAS_BWD_PT_C/E must reject malformed or non-power-of-two
+    values with a clear message instead of a bare ValueError / silent
+    grid misalignment (ADVICE r3)."""
+    import numpy as np
+
+    import jax
+
+    from phyloformer_tpu.models.params import init_params, PhyloformerConfig
+    from phyloformer_tpu.ops.pallas.axial_block_bwd import fused_axial_block_bwd
+
+    cfg = PhyloformerConfig(n_blocks=1)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    layer = params["layers"][0]
+    b, p, l, d = 1, 4, 8, cfg.embed_dim
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(b, p, l, d)).astype(np.float32)
+    stats = rng.normal(size=(b, l, 3 * d)).astype(np.float32)
+    smask = np.ones((b, l), bool)
+    pmask = np.ones((b, p), bool)
+
+    for bad in ("banana", "12"):
+        monkeypatch.setenv("PF_PALLAS_BWD_PT_C", bad)
+        with pytest.raises(ValueError, match="PF_PALLAS_BWD_PT_C"):
+            fused_axial_block_bwd(x, x, stats, x, layer, smask, pmask,
+                                  interpret=True)
+    monkeypatch.delenv("PF_PALLAS_BWD_PT_C", raising=False)

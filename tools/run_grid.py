@@ -205,12 +205,18 @@ def main(argv=None) -> int:
             run_method("PF" if method == args.pf_marker else method,
                        length_dir, out_dir, args, rec)
             # run_method("PF") writes under matrices_pf/trees_pf; rename to
-            # the requested marker when it differs
+            # the requested marker when it differs.  Unconditional: a stale
+            # dst from a previous run must not shadow fresh PF outputs (the
+            # topo/dist collectors below read the marker-named dirs).
             if method == args.pf_marker and args.pf_marker != "PF":
+                import shutil
+
                 for sub in ("matrices", "trees"):
                     src = out_dir / f"{sub}_pf"
                     dst = out_dir / f"{sub}_{method.lower()}"
-                    if src.exists() and not dst.exists():
+                    if src.exists():
+                        if dst.exists():
+                            shutil.rmtree(dst)
                         src.rename(dst)
             rec.write_csv(out_dir / f"execution_{method.lower()}.csv")
             topo = collect_topo_rows(length_dir / "trees",
