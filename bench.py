@@ -87,6 +87,12 @@ def main():
         for n in range(3)
     ]
     use_pallas = os.environ.get("PF_BENCH_PALLAS", "1") == "1"
+    # Pipelined kernels (merged block boundaries, in-kernel gather + head)
+    # are the default fast path; PF_BENCH_PIPELINE=0 restores the per-block
+    # kernels, PF_BENCH_ACT_DTYPE=bfloat16 halves inter-kernel HBM traffic.
+    use_pipeline = {"1": True, "0": False}.get(
+        os.environ.get("PF_BENCH_PIPELINE", ""), None)
+    act_dtype = os.environ.get("PF_BENCH_ACT_DTYPE", "float32")
     # Single (60, 256) bucket: the 40-tip gate MSAs pad into the same shape
     # the throughput run uses, so the whole bench compiles exactly once.
     fast_engine = InferenceEngine(
@@ -94,8 +100,15 @@ def main():
         cfg,
         InferenceConfig(
             matmul_precision="tensorfloat32",
-            max_batch_tokens=1 << 23,
+            # 1<<22 tokens -> device batch 9 at the headline shape: the
+            # measured round-4 sweet spot for the pipelined kernels (the
+            # merged kernel's pair tile halves at batch 18 because XLA pins
+            # the whole (B, L, 3d) stats buffers in VMEM scope — B=9/pt=8
+            # beats B=18/pt=4 by ~5%; see docs/performance.md round 4)
+            max_batch_tokens=int(os.environ.get("PF_BENCH_TOKENS", 1 << 22)),
             use_pallas=use_pallas,
+            use_pipeline=use_pipeline,
+            pipeline_act_dtype=act_dtype,
             n_buckets=(N_TIPS,),
             l_buckets=(256,),
         ),

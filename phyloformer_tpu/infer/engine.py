@@ -46,6 +46,14 @@ class InferenceConfig:
     # distance error ~1e-3 relative, see bench.py accuracy gate).
     matmul_precision: str = "float32"
     use_pallas: bool = False  # fused Pallas axial-block kernels (TPU)
+    # Pipelined fused kernels (merged block boundaries + in-kernel pair
+    # gather and head — ops/pallas/pipeline.py).  None = auto: on whenever
+    # use_pallas is set and the bucket's site axis is VMEM-resident.
+    use_pipeline: Optional[bool] = None
+    # Storage dtype of inter-kernel activations on the pipelined path
+    # ("float32" | "bfloat16").  Compute stays fp32 in-register; bfloat16
+    # halves HBM traffic/residency (what makes (200, 1000) single-chip).
+    pipeline_act_dtype: str = "float32"
     allow_oversize: bool = True  # n/L beyond last bucket: exact-shape fallback
     # Round device batch sizes up to powers of two (padding rows are fully
     # masked no-ops).  Bounds jit retraces to log2(max_batch_size) per bucket
@@ -112,8 +120,24 @@ class InferenceEngine:
             # command and CPU CI drive the exact fused code path
             interpret = jax.default_backend() != "tpu"
 
+            mxu = "highest" if cfg.matmul_precision == "float32" else "default"
+            pipeline = self.icfg.use_pipeline
+            if pipeline is None:
+                from ..ops.pallas.pipeline import pipeline_supported
+
+                pipeline = use_pallas and pipeline_supported(pad_n, pad_l, mxu)
+
             def run(params, codes, site_mask, seq_mask):
-                if use_pallas:
+                if use_pallas and pipeline:
+                    from ..ops.pallas.pipeline import forward_fused_pipeline
+
+                    out = forward_fused_pipeline(
+                        params, codes, pad_n, site_mask, seq_mask,
+                        n_heads=cfg.n_heads, eps=cfg.ln_eps,
+                        interpret=interpret, mxu_precision=mxu,
+                        act_dtype_name=self.icfg.pipeline_act_dtype,
+                    )
+                elif use_pallas:
                     from ..models.phyloformer import forward_fused
 
                     out = forward_fused(

@@ -95,40 +95,30 @@ def _expand_heads(t, hd: int, interpret: bool,
     return flat.reshape(t.shape[:-1] + (d,))
 
 
-def _kernel_a(
-    # inputs
-    x_ref, site_mask_ref, pair_mask_ref,
-    rn_s_ref, rn_b_ref, rwq_ref, rbq_ref, rwk_ref, rbk_ref,
-    rwv_ref, rbv_ref, rwo_ref, rbo_ref,
-    cn_s_ref, cn_b_ref, cwq_ref, cbq_ref, cwk_ref, cbk_ref,
-    cwv_ref, cbv_ref,
-    # outputs
-    x1_ref, stats_ref,
-    *, n_heads: int, eps: float, prec, interpret: bool,
-):
-    def mm(a, w, b):
-        return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
-                       preferred_element_type=jnp.float32).reshape(
-                           a.shape[:-1] + (w.shape[-1],)) + b
-    pt = pl.program_id(1)
-    x = x_ref[0]  # (Pt, L, d)
-    ptile, L, d = x.shape
-    hd = d // n_heads
-    smask = site_mask_ref[0].astype(x.dtype)  # (L, 1) — keep 2-D (Mosaic
-    # cannot reduce offset-sliced 1-D vectors)
-    pmask = pair_mask_ref[0].astype(x.dtype)  # (Pt, 1, 1)
+def _mm_b(a, w, b, prec):
+    """Tile matmul + bias with fp32 accumulation (any input rank)."""
+    return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
+                   preferred_element_type=jnp.float32).reshape(
+                       a.shape[:-1] + (w.shape[-1],)) + b
 
-    # ---- row sub-block: attention over the (resident) site axis ----
-    # Heads are expanded to d-wide tensors immediately (head-major value
-    # blocks): per-head q/k are scalars, so broadcasting them across each
-    # head's value block turns every attention step into a lane-full
-    # elementwise op — no (.., H=4) lane-padded traffic, no per-head loops.
-    h = _ln(x, rn_s_ref[:], rn_b_ref[:], eps)
-    q = _expand_heads(_phi(mm(h, rwq_ref[:], rbq_ref[:])), hd, interpret, prec)
-    k = _expand_heads(_phi(mm(h, rwk_ref[:], rbk_ref[:])), hd, interpret, prec)
+
+def _body_row_attn(x, smask, rp, hd, eps, prec, interpret):
+    """Row sub-block on a resident site axis: ``x1 = x + rowattn(LN x)``.
+
+    Heads are expanded to d-wide tensors immediately (head-major value
+    blocks): per-head q/k are scalars, so broadcasting them across each
+    head's value block turns every attention step into a lane-full
+    elementwise op — no (.., H=4) lane-padded traffic, no per-head loops.
+
+    ``rp = (rn_s, rn_b, wq, bq, wk, bk, wv, bv, wo, bo)`` (values, not refs).
+    """
+    rn_s, rn_b, rwq, rbq, rwk, rbk, rwv, rbv, rwo, rbo = rp
+    h = _ln(x, rn_s, rn_b, eps)
+    q = _expand_heads(_phi(_mm_b(h, rwq, rbq, prec)), hd, interpret, prec)
+    k = _expand_heads(_phi(_mm_b(h, rwk, rbk, prec)), hd, interpret, prec)
     q = q * smask[None, :, :]  # (Pt, L, d)
     k = k * smask[None, :, :]
-    v = mm(h, rwv_ref[:], rbv_ref[:])  # (Pt, L, d)
+    v = _mm_b(h, rwv, rbv, prec)  # (Pt, L, d)
 
     count = jnp.maximum(jnp.sum(smask), 1.0)
     q_mean = jnp.sum(q, axis=1, keepdims=True) / count  # (Pt, 1, d)
@@ -141,21 +131,88 @@ def _kernel_a(
 
     ctx = jnp.sum(kn * v, axis=1)  # (Pt, d) — per-head blocks of k-weighted v
     attn = qn * ctx[:, None, :]  # (Pt, L, d)
-    x1 = x + mm(attn, rwo_ref[:], rbo_ref[:])
-    x1_ref[0] = x1
+    return x + _mm_b(attn, rwo, rbo, prec)
 
-    # ---- column stats on x1: partial sums over this pair tile ----
-    hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
-    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret, prec)
-    kc = _expand_heads(_phi(mm(hc, cwk_ref[:], cbk_ref[:])), hd, interpret, prec)
+
+def _body_col_stats(x1, pmask, cp, hd, eps, prec, interpret):
+    """Column-attention partial sums over one pair tile: ``(L, 3d)`` =
+    ``[Σk | Σq | Σk·v]`` in head-expanded layout.  Linear attention's
+    pair-axis state is exactly these sums, so accumulating them across
+    pair tiles replaces the transpose + second pass over pairs.
+
+    ``cp = (cn_s, cn_b, wq, bq, wk, bk, wv, bv)``."""
+    cn_s, cn_b, cwq, cbq, cwk, cbk, cwv, cbv = cp
+    hc = _ln(x1, cn_s, cn_b, eps)
+    qc = _expand_heads(_phi(_mm_b(hc, cwq, cbq, prec)), hd, interpret, prec)
+    kc = _expand_heads(_phi(_mm_b(hc, cwk, cbk, prec)), hd, interpret, prec)
     qc = qc * pmask  # (Pt, L, d) x (Pt, 1, 1)
     kc = kc * pmask
-    vc = mm(hc, cwv_ref[:], cbv_ref[:])  # (Pt, L, d)
+    vc = _mm_b(hc, cwv, cbv, prec)  # (Pt, L, d)
+    return jnp.concatenate(
+        [jnp.sum(kc, axis=0), jnp.sum(qc, axis=0), jnp.sum(kc * vc, axis=0)],
+        axis=-1,
+    )  # (L, 3d)
 
-    k_part = jnp.sum(kc, axis=0)  # (L, d)
-    q_part = jnp.sum(qc, axis=0)  # (L, d)
-    kv_part = jnp.sum(kc * vc, axis=0)  # (L, d)
-    part = jnp.concatenate([k_part, q_part, kv_part], axis=-1)  # (L, 3d)
+
+def _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret):
+    """Column attention finalized from the global stats + fused FFN: x3.
+
+    ``bp = (cn_s, cn_b, cwq, cbq, cwo, cbo, fn_s, fn_b, fw1, fb1, fw2,
+    fb2)``."""
+    cn_s, cn_b, cwq, cbq, cwo, cbo, fn_s, fn_b, fw1, fb1, fw2, fb2 = bp
+    d = x1.shape[-1]
+    hc = _ln(x1, cn_s, cn_b, eps)
+    qc = _expand_heads(_phi(_mm_b(hc, cwq, cbq, prec)), hd, interpret, prec)
+
+    k_sum = stats[:, :d]  # (L, d)
+    q_sum = stats[:, d : 2 * d]
+    kv = stats[:, 2 * d :]
+
+    q_mean = q_sum / n_pairs  # (L, d)
+    q_mean = jnp.where(q_mean > 0, q_mean, 1.0)
+    k_sum = jnp.where(k_sum > 0, k_sum, 1.0)
+    ctx = kv / k_sum  # (L, d)
+
+    attn = (qc / q_mean[None, :, :]) * ctx[None, :, :]  # (Pt, L, d)
+    x2 = x1 + _mm_b(attn, cwo, cbo, prec)
+
+    h = _ln(x2, fn_s, fn_b, eps)
+    f = _gelu_exact(_mm_b(h, fw1, fb1, prec))
+    return x2 + _mm_b(f, fw2, fb2, prec)
+
+
+def _kernel_a(
+    # inputs
+    x_ref, site_mask_ref, pair_mask_ref,
+    rn_s_ref, rn_b_ref, rwq_ref, rbq_ref, rwk_ref, rbk_ref,
+    rwv_ref, rbv_ref, rwo_ref, rbo_ref,
+    cn_s_ref, cn_b_ref, cwq_ref, cbq_ref, cwk_ref, cbk_ref,
+    cwv_ref, cbv_ref,
+    # outputs
+    x1_ref, stats_ref,
+    *, n_heads: int, eps: float, prec, interpret: bool,
+):
+    pt = pl.program_id(1)
+    x = x_ref[0]  # (Pt, L, d)
+    hd = x.shape[-1] // n_heads
+    smask = site_mask_ref[0].astype(x.dtype)  # (L, 1) — keep 2-D (Mosaic
+    # cannot reduce offset-sliced 1-D vectors)
+    pmask = pair_mask_ref[0].astype(x.dtype)  # (Pt, 1, 1)
+
+    x1 = _body_row_attn(
+        x, smask,
+        (rn_s_ref[:], rn_b_ref[:], rwq_ref[:], rbq_ref[:], rwk_ref[:],
+         rbk_ref[:], rwv_ref[:], rbv_ref[:], rwo_ref[:], rbo_ref[:]),
+        hd, eps, prec, interpret,
+    )
+    x1_ref[0] = x1
+
+    part = _body_col_stats(
+        x1, pmask,
+        (cn_s_ref[:], cn_b_ref[:], cwq_ref[:], cbq_ref[:], cwk_ref[:],
+         cbk_ref[:], cwv_ref[:], cbv_ref[:]),
+        hd, eps, prec, interpret,
+    )
 
     @pl.when(pt == 0)
     def _init():
@@ -173,34 +230,17 @@ def _kernel_b(
     x3_ref,
     *, n_heads: int, eps: float, prec, interpret: bool,
 ):
-    def mm(a, w, b):
-        return jnp.dot(a.reshape(-1, a.shape[-1]), w, precision=prec,
-                       preferred_element_type=jnp.float32).reshape(
-                           a.shape[:-1] + (w.shape[-1],)) + b
     x1 = x1_ref[0]  # (Pt, L, d)
-    ptile, L, d = x1.shape
-    hd = d // n_heads
+    hd = x1.shape[-1] // n_heads
     stats = stats_ref[0]  # (L, 3d) — Σk, Σq, Σk·v in head-expanded layout
-
-    hc = _ln(x1, cn_s_ref[:], cn_b_ref[:], eps)
-    qc = _expand_heads(_phi(mm(hc, cwq_ref[:], cbq_ref[:])), hd, interpret, prec)
-
-    k_sum = stats[:, :d]  # (L, d)
-    q_sum = stats[:, d : 2 * d]
-    kv = stats[:, 2 * d :]
-
     n_pairs = jnp.maximum(pair_count_ref[pl.program_id(0), 0], 1.0)
-    q_mean = q_sum / n_pairs  # (L, d)
-    q_mean = jnp.where(q_mean > 0, q_mean, 1.0)
-    k_sum = jnp.where(k_sum > 0, k_sum, 1.0)
-    ctx = kv / k_sum  # (L, d)
-
-    attn = (qc / q_mean[None, :, :]) * ctx[None, :, :]  # (Pt, L, d)
-    x2 = x1 + mm(attn, cwo_ref[:], cbo_ref[:])
-
-    h = _ln(x2, fn_s_ref[:], fn_b_ref[:], eps)
-    f = _gelu_exact(mm(h, fw1_ref[:], fb1_ref[:]))
-    x3_ref[0] = x2 + mm(f, fw2_ref[:], fb2_ref[:])
+    x3_ref[0] = _body_b(
+        x1, stats, n_pairs,
+        (cn_s_ref[:], cn_b_ref[:], cwq_ref[:], cbq_ref[:], cwo_ref[:],
+         cbo_ref[:], fn_s_ref[:], fn_b_ref[:], fw1_ref[:], fb1_ref[:],
+         fw2_ref[:], fb2_ref[:]),
+        hd, eps, prec, interpret,
+    )
 
 
 def _kernel_a1(

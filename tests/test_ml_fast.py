@@ -1,0 +1,149 @@
+"""EdgeEngine (trees/ml_fast.py) vs the full-pruning oracle
+(trees/likelihood.py): directional partials, NNI/SPR candidate scores, and
+end-to-end refinement quality."""
+
+import numpy as np
+import pytest
+
+from phyloformer_tpu.data.fasta import Alignment
+from phyloformer_tpu.data.newick import parse_newick
+from phyloformer_tpu.sim.models import get_model
+from phyloformer_tpu.trees.likelihood import log_likelihood
+from phyloformer_tpu.trees.ml_fast import EdgeEngine, _unroot, ml_refine_fast
+
+
+def _case(seed=0, n=8, L=40):
+    """Random alignment + a random-ish starting tree over the same taxa."""
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 20, (n, L)).astype(np.int8)
+    ids = [f"T{i}" for i in range(n)]
+    aln = Alignment(codes=codes, ids=ids)
+    # random birth-death start tree
+    from phyloformer_tpu.sim.trees import TreeSimConfig, simulate_tree
+
+    nwk = simulate_tree(np.random.default_rng(seed),
+                        TreeSimConfig(ntips=n)).to_newick()
+    # rename leaves to the alignment ids deterministically
+    tree = parse_newick(nwk)
+    for leaf, new in zip(tree.leaves(), ids):
+        leaf.name = new
+    return aln, tree.to_newick()
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_engine_ll_matches_oracle(seed):
+    aln, nwk = _case(seed)
+    m = get_model("LG")
+    root = _unroot(parse_newick(nwk))
+    eng = EdgeEngine(aln, m)
+    eng.set_tree(root)
+    want = log_likelihood(aln, root, m)
+    got = eng.log_likelihood()
+    assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (got, want)
+    # edge evaluation agrees at every edge
+    for i, nd in enumerate(eng.nodes):
+        if eng.parent[i] >= 0:
+            assert abs(eng.edge_log_likelihood(i) - want) < 1e-6 * abs(want)
+
+
+def test_engine_ll_with_site_rates():
+    aln, nwk = _case(1)
+    m = get_model("LG")
+    L = aln.seq_len
+    rng = np.random.default_rng(1)
+    rates = rng.choice([0.25, 1.0, 4.0], size=L)
+    root = _unroot(parse_newick(nwk))
+    eng = EdgeEngine(aln, m, site_rates=rates)
+    eng.set_tree(root)
+    # oracle: CAT scoring path of the slow engine
+    uniq = np.unique(rates)
+    cat_of_site = np.searchsorted(uniq, rates)
+    want = log_likelihood(aln, root, m,
+                          site_categories=(uniq, cat_of_site))
+    assert abs(eng.log_likelihood() - want) < 1e-6 * abs(want)
+
+
+def test_nni_gains_match_full_rescoring():
+    aln, nwk = _case(2)
+    m = get_model("LG")
+    root = _unroot(parse_newick(nwk))
+    eng = EdgeEngine(aln, m)
+    eng.set_tree(root)
+    base = eng.log_likelihood()
+    gains = eng.nni_gains()
+    assert gains, "expected at least one improving NNI on a random tree"
+    for gain, i, alt in gains[:4]:
+        import copy
+
+        clone_engine = EdgeEngine(aln, m)
+        clone = copy.deepcopy(eng.root)
+        clone_engine.set_tree(clone)
+        clone_engine.apply_nni(
+            next(j for j, nd in enumerate(clone_engine.nodes)
+                 if _same_split(clone_engine, j, eng, i)), alt)
+        got = log_likelihood(aln, clone, m) - base
+        assert abs(got - gain) < 1e-5 * max(1.0, abs(base)), (got, gain)
+
+
+def _same_split(eng_a, ia, eng_b, ib):
+    """Match nodes across deep copies by their leaf set."""
+    la = frozenset(n.name for n in eng_a.nodes[ia].leaves())
+    lb = frozenset(n.name for n in eng_b.nodes[ib].leaves())
+    return la == lb
+
+
+def test_spr_gains_match_full_rescoring():
+    aln, nwk = _case(4, n=10)
+    m = get_model("LG")
+    root = _unroot(parse_newick(nwk))
+    eng = EdgeEngine(aln, m)
+    eng.set_tree(root)
+    base = eng.log_likelihood()
+    cands = eng.spr_candidates(radius=4)
+    assert cands, "expected at least one improving SPR on a random tree"
+    # verify the top few exactly: apply to a fresh engine, rescore fully
+    for gain, pi_, ti in sorted(cands, reverse=True)[:3]:
+        import copy
+
+        eng2 = EdgeEngine(aln, m)
+        clone = copy.deepcopy(eng.root)
+        eng2.set_tree(clone)
+        p2 = next(j for j, _ in enumerate(eng2.nodes)
+                  if _same_split(eng2, j, eng, pi_))
+        t2 = next(j for j, _ in enumerate(eng2.nodes)
+                  if _same_split(eng2, j, eng, ti))
+        new_root = eng2.apply_spr(p2, t2)
+        got = log_likelihood(aln, new_root, m) - base
+        assert abs(got - gain) < 1e-5 * max(1.0, abs(base)), (got, gain)
+
+
+def test_refine_fast_improves_and_beats_slow():
+    aln, nwk = _case(5, n=7, L=30)
+    m = get_model("LG")
+    start_ll = log_likelihood(aln, _unroot(parse_newick(nwk)), m)
+    out_nwk, ll = ml_refine_fast(aln, nwk, max_sweeps=2, spr_radius=3)
+    assert ll > start_ll, (ll, start_ll)
+    # same leaves survive
+    assert (sorted(n.name for n in parse_newick(out_nwk).leaves())
+            == sorted(aln.ids))
+    # quality >= the first-generation slow refiner on the same inputs
+    from phyloformer_tpu.trees.baselines import ml_refine
+
+    _, slow_ll = ml_refine(aln, nwk, max_sweeps=1, spr=False,
+                           optimize_lengths=True)
+    assert ll >= slow_ll - 1e-6, (ll, slow_ll)
+
+
+def test_branch_length_optimization_improves():
+    aln, nwk = _case(6)
+    m = get_model("LG")
+    root = _unroot(parse_newick(nwk))
+    eng = EdgeEngine(aln, m)
+    eng.set_tree(root)
+    before = eng.log_likelihood()
+    eng.optimize_lengths(rounds=1)
+    after = eng.log_likelihood()
+    assert after >= before - 1e-9
+    # oracle agreement after optimization
+    want = log_likelihood(aln, eng.root, m)
+    assert abs(after - want) < 1e-6 * abs(want)
