@@ -23,16 +23,21 @@ import numpy as np
 from ..data.fasta import Alignment
 from ..infer.engine import InferenceConfig, InferenceEngine
 
-# The measurable single-chip corners.  (200, 1000) is excluded: that corner
-# is HBM-infeasible on EVERY single-chip path (docs/ROADMAP.md round-2
-# finding — ~5.2 GB per live activation tensor at batch 1) and is served by
-# the sharded fused engine on a mesh; pass it via --grid explicitly to
-# re-probe (it reports an error row rather than crashing).
+# The measurable single-chip corners.  (200, 1000) — HBM-infeasible on
+# every round-3 path (~5.2 GB per live fp32 activation tensor) — is BACK
+# in the default grid since round 4: the pipelined kernels keep only two
+# live inter-kernel tensors and store them bfloat16 (~2.6 GB each), so the
+# reference's largest supported shape (`model.py:39`) runs single-chip.
 DEFAULT_GRID: Tuple[Tuple[int, int], ...] = (
-    (50, 250), (100, 250), (100, 1000), (200, 250),
+    (50, 250), (100, 250), (100, 1000), (200, 250), (200, 1000),
 )
 # pair-tokens ceiling under which the XLA fp32 path fits single-chip HBM
 XLA_FP32_MAX_TOKENS = 100 * 99 // 2 * 1024
+# beyond this, even fp32-storage fused paths exceed HBM: fast AND oracle
+# run the pipeline with bfloat16 storage, differing only in matmul passes
+# (the storage-rounding term itself is bounded at the largest fp32-feasible
+# corners, where the bf16 oracle is checked against the fp32 one)
+FP32_STORAGE_MAX_TOKENS = 200 * 199 // 2 * 256
 
 
 def _bucket(n: int, l: int) -> Dict:
@@ -55,22 +60,23 @@ def make_engines(params, cfg, n: int, l: int):
     path (not the envelope) in CPU CI.
     """
     buckets = _bucket(n, l)
-    fast = InferenceEngine(params, cfg, InferenceConfig(
-        matmul_precision="tensorfloat32", use_pallas=True,
-        max_batch_tokens=1 << 23, **buckets))
     # oracle-selection threshold uses the SAME l-bucket the engines run
     # (small custom corners land on the 32/64 rungs, not 256)
     pairs_tokens = n * (n - 1) // 2 * buckets["l_buckets"][0]
+    act = "bfloat16" if pairs_tokens > FP32_STORAGE_MAX_TOKENS else "float32"
+    fast = InferenceEngine(params, cfg, InferenceConfig(
+        matmul_precision="tensorfloat32", use_pallas=True,
+        pipeline_act_dtype=act, max_batch_tokens=1 << 23, **buckets))
     if pairs_tokens <= XLA_FP32_MAX_TOKENS:
         oracle = InferenceEngine(params, cfg, InferenceConfig(
             matmul_precision="float32", max_batch_tokens=1 << 23,
-            **_bucket(n, l)))
+            **buckets))
         name = "xla_fp32"
     else:
         oracle = InferenceEngine(params, cfg, InferenceConfig(
             matmul_precision="float32", use_pallas=True,
-            max_batch_tokens=1 << 23, **_bucket(n, l)))
-        name = "fused_highest"
+            pipeline_act_dtype=act, max_batch_tokens=1 << 23, **buckets))
+        name = "fused_highest" if act == "float32" else "fused_highest_bf16"
     return fast, oracle, name
 
 

@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     train.add_argument("--learning-rate", "-l", type=float, default=1e-4)
     train.add_argument("--check-val-every", type=int, default=10_000)
     train.add_argument("--batch-size", "-s", type=int, default=4)
+    train.add_argument("--max-batch-tokens", type=int, default=None,
+                       help="activation-token cap (pairs x sites x batch) "
+                            "per device batch: mixed-length corpora shrink "
+                            "the batch on their largest buckets instead of "
+                            "OOMing (None = flat batch size)")
     train.add_argument("--max-steps", "-M", type=int, default=None)
     train.add_argument("--no-improvement-stop", type=int, default=5)
     train.add_argument("--hard-loss-ceiling", type=float, default=3.0)
@@ -251,7 +256,9 @@ def main(argv=None) -> int:
             nw = max(1, int(slurm_cpus) - 1)
         else:
             nw = max(1, min(8, (os.cpu_count() or 2) - 1))
-    lcfg = LoaderConfig(batch_size=args.batch_size, num_workers=nw, seed=args.seed)
+    lcfg = LoaderConfig(batch_size=args.batch_size, num_workers=nw,
+                        seed=args.seed,
+                        max_batch_tokens=args.max_batch_tokens)
     if packed_ds is not None:
         from .packed import PackedBucketedLoader
 

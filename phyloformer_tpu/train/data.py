@@ -99,6 +99,21 @@ class LoaderConfig:
     seed: int = 1337
     drop_last: bool = False
     prefetch: int = 4
+    # Optional activation-token cap (pairs x sites x batch): a mixed-length
+    # corpus at a fixed batch size would OOM on its largest bucket (e.g.
+    # batch 8 at 50 tips x 1024 sites is ~3x the 50x256 token count the
+    # fused train step was sized for), so each bucket's effective batch is
+    # min(batch_size, max_batch_tokens // tokens_per_example).  None keeps
+    # the flat batch size.  Per-bucket sizes are deterministic, so jit
+    # still compiles once per (bucket, size).
+    max_batch_tokens: Optional[int] = None
+
+    def bucket_batch_size(self, pad_n: int, pad_l: int) -> int:
+        if self.max_batch_tokens is None:
+            return self.batch_size
+        tokens = pad_n * (pad_n - 1) // 2 * pad_l
+        return max(1, min(self.batch_size,
+                          self.max_batch_tokens // max(tokens, 1)))
 
 
 class BucketedLoader:
@@ -169,7 +184,7 @@ class BucketedLoader:
                     _bucketize(aln.seq_len, cfg.l_buckets, True),
                 )
                 buckets.setdefault(key, []).append((aln, vec))
-                if len(buckets[key]) >= cfg.batch_size:
+                if len(buckets[key]) >= cfg.bucket_batch_size(*key):
                     items = buckets.pop(key)
                     yield self._assemble(items, key)
             if not cfg.drop_last:

@@ -148,7 +148,7 @@ class PackedBucketedLoader:
                 _bucketize(aln.seq_len, cfg.l_buckets, True),
             )
             buckets.setdefault(key, []).append((aln, vec))
-            if len(buckets[key]) >= cfg.batch_size:
+            if len(buckets[key]) >= cfg.bucket_batch_size(*key):
                 items = buckets.pop(key)
                 yield make_batch([a for a, _ in items], [v for _, v in items], *key)
         if not cfg.drop_last:

@@ -175,6 +175,7 @@ def ml_refine(
     spr: bool = True,
     spr_radius: int = 3,
     cat_categories: int = 0,
+    engine: str = "fast",
 ) -> Tuple[str, float]:
     """FastTree-class approximate-ML refinement: likelihood-scored NNI +
     radius-limited SPR hill climbing, optionally under CAT-style per-site
@@ -189,9 +190,28 @@ def ml_refine(
       current tree each sweep (:func:`..likelihood.estimate_site_categories`)
       and score all candidates under them (mutually exclusive with
       ``gamma_alpha``).
+    - ``engine``: "fast" (default) uses the directional-partial engine
+      (:mod:`.ml_fast` — O(L·S²) per NNI edge, radius-walk SPR, eigenspace
+      branch lengths; what makes 100-tip grid columns feasible); "slow"
+      keeps the first-generation full-rescoring hill climb (also the
+      fallback for ``gamma_alpha`` mixtures, which the fast engine does
+      not carry).  ``PFML_SLOW=1`` forces "slow" globally (regression
+      escape hatch).
 
     Returns (newick, log_likelihood).
     """
+    import os as _os
+
+    if (engine == "fast" and gamma_alpha is None
+            and _os.environ.get("PFML_SLOW") != "1"):
+        from .ml_fast import ml_refine_fast
+
+        return ml_refine_fast(
+            aln, start_nwk, model=model, cat_categories=cat_categories,
+            max_sweeps=max_sweeps, spr=spr, spr_radius=spr_radius,
+            optimize_lengths=optimize_lengths,
+        )
+
     from .likelihood import estimate_site_categories, log_likelihood
 
     m = get_model(model)

@@ -76,6 +76,24 @@ def test_bucketed_loader_covers_everything(tiny_dataset):
     assert seen == 4
 
 
+def test_loader_token_cap_shrinks_large_buckets(tiny_dataset):
+    """max_batch_tokens caps the per-bucket batch (mixed-length corpora
+    must shrink the batch on their largest buckets instead of OOMing)."""
+    trees, alns = tiny_dataset
+    pairs = make_pairs(trees, alns)
+    cfg = LoaderConfig(batch_size=4, n_buckets=(6, 8), l_buckets=(64,),
+                       num_workers=1,
+                       max_batch_tokens=8 * 7 // 2 * 64)  # one 8-tip example
+    assert cfg.bucket_batch_size(8, 64) == 1
+    assert cfg.bucket_batch_size(6, 64) == 1  # 6x64 tokens < budget? 15*64
+    cfg2 = LoaderConfig(batch_size=4, max_batch_tokens=None)
+    assert cfg2.bucket_batch_size(200, 1024) == 4  # None = flat
+    loader = BucketedLoader(pairs, cfg)
+    for batch in loader:
+        b, n, L = batch["codes"].shape
+        assert b * n * (n - 1) // 2 * L <= cfg.max_batch_tokens
+
+
 def test_loader_epoch_reshuffles(tiny_dataset):
     trees, alns = tiny_dataset
     pairs = make_pairs(trees, alns)

@@ -68,13 +68,26 @@ def run_method(method, length_dir, out_dir, args, rec):
     tree_dir.mkdir(parents=True, exist_ok=True)
 
     if method.startswith("PF"):
+        import jax
+
         from phyloformer_tpu.infer.engine import InferenceConfig, InferenceEngine
         from phyloformer_tpu.io import load_pretrained
 
         with rec.stage("model_load", method, "all"):
             params, cfg, _ = load_pretrained(args.pf_weights)
-            engine = InferenceEngine(params, cfg, InferenceConfig())
+            # the benched fast path (fused pipeline kernels + tf32 MXU) on
+            # accelerators; fp32 XLA on CPU (interpret-mode kernels would
+            # dominate the timing and measure nothing)
+            on_tpu = jax.default_backend() == "tpu"
+            engine = InferenceEngine(params, cfg, InferenceConfig(
+                matmul_precision="tensorfloat32" if on_tpu else "float32",
+                use_pallas=on_tpu, max_batch_tokens=1 << 22))
         alns = [read_fasta(p) for p in msas]
+        # jit compiles once per (bucket, batch) shape; a full untimed pass
+        # separates compile cost from the reported inference timing (the
+        # round-3 grid's PF numbers were cold-compile-dominated)
+        with rec.stage("compile_warmup", method, "all"):
+            engine.predict(alns)
         with rec.stage("inference", method, "all"):
             preds = engine.predict(alns)
         for p, aln, vec in zip(msas, alns, preds):
@@ -170,8 +183,10 @@ def main(argv=None) -> int:
     ap.add_argument("--methods", default="PF")
     ap.add_argument("--pf-weights", default="/root/reference/models/pf.ckpt")
     ap.add_argument("--pf-marker", default="PF")
-    ap.add_argument("--ml-refine-max-tips", type=int, default=40,
-                    help="python hill-climb cost cap; skipped MSAs are listed")
+    ap.add_argument("--ml-refine-max-tips", type=int, default=1000,
+                    help="cost cap (uncapped by default: the round-4 "
+                         "directional-partial engine runs 100 tips in ~1 "
+                         "min); skipped MSAs are listed")
     ap.add_argument("--ml-fastme-max-tips", type=int, default=1000)
     ap.add_argument("--ml-refine-sweeps", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
@@ -222,6 +237,12 @@ def main(argv=None) -> int:
             topo = collect_topo_rows(length_dir / "trees",
                                      out_dir / f"trees_{method.lower()}", method)
             write_csv(out_dir / f"topos_{method.lower()}.csv", topo)
+            from phyloformer_tpu.bench.report import collect_brlen_rows
+
+            brlens = collect_brlen_rows(length_dir / "trees",
+                                        out_dir / f"trees_{method.lower()}",
+                                        method)
+            write_csv(out_dir / f"brlens_{method.lower()}.csv", brlens)
             mat_dir = out_dir / f"matrices_{method.lower()}"
             if any(mat_dir.glob("*.phy")):
                 dist = collect_dist_rows(length_dir / "trees", mat_dir, method)
