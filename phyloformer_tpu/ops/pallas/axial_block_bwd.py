@@ -788,9 +788,18 @@ def fused_axial_block_bwd(
     # into VMEM in those fusion contexts — while pt_c=4 compiles and runs
     # at every bucket (80-step on-chip probe, round 3).  Large p keeps the
     # round-2-measured pt_c=8.
+    # Long-site buckets add a batch-scaled VMEM pin: XLA keeps the whole
+    # (B, L, 3d) stats/grad-stats buffers in scope (same S(1) behavior the
+    # forward pipeline accounts for) — the round-4 mixed-length probe
+    # caught (p=1232, L=1024, b=2) 65 KB over at pt_c=8.  Subtract the pin
+    # and relax the large-p floor for L >= 512 (those shapes are L-tiled
+    # and were never covered by the round-2 pt_c=8 measurement).
+    stats_pin = b * l * 3 * d * 4 if l >= 512 else 0
     pt_c = _env_pt_c or _pick_tile_bwd(
-        p, lt, d, live_rows=18, floor=4 if (hi or p < 1024) else 8,
-        budget_bytes=(2 if hi else 4) * 1024 * 1024)
+        p, lt, d, live_rows=18,
+        floor=4 if (hi or p < 1024 or l >= 512) else 8,
+        budget_bytes=max((2 if hi else 4) * 1024 * 1024 - stats_pin,
+                         1024 * 1024))
     # Row backward: ~2.1 MB/row measured at L=256 (16.68 MB at pt=8), so an
     # 8 MiB target inside the 16 MiB scope picks pt=4 at L=256, 2 at L=512,
     # 1 at L=1024 (pt=2 there measured over the scope).  Beyond the resident
@@ -799,7 +808,9 @@ def fused_axial_block_bwd(
     resident_e = l <= _BWD_RESIDENT_SITES_MAX
     pt_e = _env_pt_e or _pick_tile_bwd(
         p, l if resident_e else lt, d, live_rows=28,
-        floor=1, budget_bytes=(4 if hi else 8) * 1024 * 1024)
+        floor=1,
+        budget_bytes=max((4 if hi else 8) * 1024 * 1024 - stats_pin,
+                         1024 * 1024))
     if not resident_e:
         pt_e = min(8, 1 << max(0, pt_e.bit_length() - 1))
     # One padding serves all kernels: multiple of every tile (powers of two).
