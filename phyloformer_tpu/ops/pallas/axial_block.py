@@ -102,6 +102,43 @@ def _mm_b(a, w, b, prec):
                        a.shape[:-1] + (w.shape[-1],)) + b
 
 
+def _proj_phi(h, w, b, hd, interpret, prec):
+    """φ(h @ w + b) in head-expanded d-wide layout.
+
+    Two weight layouts are accepted (distinguished by static shape):
+    - (d, H): project to per-head scalars, apply φ, then head-expand via
+      the 0/1 matmul (the original 3-pass form);
+    - (d, d) pre-expanded (each head column repeated over its value
+      block): ONE matmul then φ — φ commutes with repetition, so this is
+      the same function with one fewer MXU pass and one fewer rounding
+      (the expansion matmul's bf16 rounding disappears in DEFAULT mode).
+    """
+    if w.shape[-1] == h.shape[-1]:  # pre-expanded weights
+        return _phi(_mm_b(h, w, b, prec))
+    return _expand_heads(_phi(_mm_b(h, w, b, prec)), hd, interpret, prec)
+
+
+def expand_qk_weights(layer):
+    """Pre-expand a layer's q/k projection weights to the d-wide layout
+    consumed by :func:`_proj_phi`'s fast path (pure repetition — exact)."""
+    import jax.numpy as _jnp
+
+    def ex(attn):
+        d = attn["wq"].shape[0]
+        hd = d // attn["wq"].shape[1]
+        out = dict(attn)
+        for k in ("wq", "wk"):
+            out[k] = _jnp.repeat(attn[k], hd, axis=1)
+        for k in ("bq", "bk"):
+            out[k] = _jnp.repeat(attn[k], hd)
+        return out
+
+    new = dict(layer)
+    new["row_attn"] = ex(layer["row_attn"])
+    new["col_attn"] = ex(layer["col_attn"])
+    return new
+
+
 def _body_row_attn(x, smask, rp, hd, eps, prec, interpret):
     """Row sub-block on a resident site axis: ``x1 = x + rowattn(LN x)``.
 
@@ -114,8 +151,8 @@ def _body_row_attn(x, smask, rp, hd, eps, prec, interpret):
     """
     rn_s, rn_b, rwq, rbq, rwk, rbk, rwv, rbv, rwo, rbo = rp
     h = _ln(x, rn_s, rn_b, eps)
-    q = _expand_heads(_phi(_mm_b(h, rwq, rbq, prec)), hd, interpret, prec)
-    k = _expand_heads(_phi(_mm_b(h, rwk, rbk, prec)), hd, interpret, prec)
+    q = _proj_phi(h, rwq, rbq, hd, interpret, prec)
+    k = _proj_phi(h, rwk, rbk, hd, interpret, prec)
     q = q * smask[None, :, :]  # (Pt, L, d)
     k = k * smask[None, :, :]
     v = _mm_b(h, rwv, rbv, prec)  # (Pt, L, d)
@@ -143,8 +180,8 @@ def _body_col_stats(x1, pmask, cp, hd, eps, prec, interpret):
     ``cp = (cn_s, cn_b, wq, bq, wk, bk, wv, bv)``."""
     cn_s, cn_b, cwq, cbq, cwk, cbk, cwv, cbv = cp
     hc = _ln(x1, cn_s, cn_b, eps)
-    qc = _expand_heads(_phi(_mm_b(hc, cwq, cbq, prec)), hd, interpret, prec)
-    kc = _expand_heads(_phi(_mm_b(hc, cwk, cbk, prec)), hd, interpret, prec)
+    qc = _proj_phi(hc, cwq, cbq, hd, interpret, prec)
+    kc = _proj_phi(hc, cwk, cbk, hd, interpret, prec)
     qc = qc * pmask  # (Pt, L, d) x (Pt, 1, 1)
     kc = kc * pmask
     vc = _mm_b(hc, cwv, cbv, prec)  # (Pt, L, d)
@@ -162,7 +199,7 @@ def _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret):
     cn_s, cn_b, cwq, cbq, cwo, cbo, fn_s, fn_b, fw1, fb1, fw2, fb2 = bp
     d = x1.shape[-1]
     hc = _ln(x1, cn_s, cn_b, eps)
-    qc = _expand_heads(_phi(_mm_b(hc, cwq, cbq, prec)), hd, interpret, prec)
+    qc = _proj_phi(hc, cwq, cbq, hd, interpret, prec)
 
     k_sum = stats[:, :d]  # (L, d)
     q_sum = stats[:, d : 2 * d]

@@ -56,6 +56,7 @@ from .axial_block import (
     _body_col_stats,
     _body_row_attn,
     _mm_b,
+    expand_qk_weights,
 )
 
 # VMEM budget for the per-batch-element embedding block (n, L, d) fp32 the
@@ -363,7 +364,15 @@ def forward_fused_pipeline(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    # q/k weights pre-expanded to the d-wide layout: removes the 6
+    # head-expansion MXU passes per merged kernel (φ commutes with
+    # repetition — exact).  PF_PIPE_NO_PREEXPAND=1 restores the 3-pass
+    # form for A/B probing.
+    import os as _os2
+
     layers = params["layers"]
+    if _os2.environ.get("PF_PIPE_NO_PREEXPAND") != "1":
+        layers = [expand_qk_weights(ly) for ly in layers]
     x1_shape = jax.ShapeDtypeStruct((b, p_pad, l, d), act_dtype)
     stats_shape = jax.ShapeDtypeStruct((b, l, 3 * d), jnp.float32)
 
