@@ -440,19 +440,45 @@ class EdgeEngine:
 
     # -- branch lengths ------------------------------------------------------
     def optimize_lengths(self, rounds: int = 1, max_t: float = 10.0) -> None:
-        """Per-edge 1-D optimization in eigenspace (coefficients once per
-        edge, O(L·S) per evaluation), updating the Node lengths in place.
-        Callers re-run :meth:`set_tree` afterwards."""
+        """Per-edge 1-D optimization in eigenspace, exact at every step.
+
+        Preorder sweep with the rest-partial refreshed immediately before
+        each edge: parents are optimized before children (so U below is
+        current) and the rest above is rebuilt from the just-updated W of
+        the parent and the CURRENT sibling messages — every golden search
+        therefore maximizes the true likelihood of the current tree, and
+        each round is monotone.  (The earlier postorder version used the
+        start-of-round W; its stale coefficients made whole rounds
+        non-monotone — caught by the round-4 grid probe.)
+
+        Coefficients once per edge (2 einsums), O(L·S) per evaluation.
+        Updates Node lengths in place and leaves all partials fresh."""
         gr = (np.sqrt(5.0) - 1) / 2
+        ri = self.idx[id(self.root)]
         for _ in range(rounds):
-            for i, nd in enumerate(self.nodes):
-                if self.parent[i] < 0:
+            for i in reversed(range(len(self.nodes))):  # preorder
+                nd = self.nodes[i]
+                p = self.parent[i]
+                if p < 0:
                     continue
+                if p == ri:
+                    rest = np.broadcast_to(self.pi, (self.L, self.S)).copy()
+                    sc = np.zeros(self.L)
+                else:
+                    rest = self.W[p].copy()
+                    sc = self.sW[p].copy()
+                for s in self.nodes[p].children:
+                    si = self.idx[id(s)]
+                    if si != i:
+                        rest = rest * self.M[si]
+                        sc = sc + self.sM[si]
+                mx = np.maximum(rest.max(axis=1), _TINY)
+                rest = rest / mx[:, None]
+                sc = sc + np.log(mx)
+                self.A[i] = rest
+                self.sA[i] = sc
                 # a_{l,s} = (above R)_s (Lᵀ U)_s ; f_l(t) = Σ_s a e^{λ t r_l}
-                # `above` must be PRE-transport (A, at the top of the
-                # edge): W already carries P(t_old) and would apply the
-                # branch twice.
-                a = (self.A[i] @ self.right) * (self.U[i] @ self.left.T)
+                a = (rest @ self.right) * (self.U[i] @ self.left.T)
 
                 def ll(t):
                     site = np.maximum(
@@ -460,6 +486,9 @@ class EdgeEngine:
                                axis=1), _TINY)
                     return float(np.sum(np.log(site)))
 
+                # keep the current length when the search can't beat it
+                # (golden section assumes unimodality; guard regressions)
+                t_cur = max(self.t[i], 1e-6)
                 lo, hi = 1e-6, max_t
                 for _ in range(24):
                     m1 = hi - gr * (hi - lo)
@@ -469,12 +498,21 @@ class EdgeEngine:
                     else:
                         lo = m1
                 t_new = 0.5 * (lo + hi)
+                if ll(t_new) < ll(t_cur):
+                    t_new = t_cur
                 nd.length = t_new
                 self.t[i] = t_new
-                # refresh this edge's message so later edges see it
                 self.M[i] = np.clip(self._message(self.U[i], t_new), 0.0,
                                     None)
-            # partials stale after a full round: recompute
+                # refresh W[i] (children read it next): transport the
+                # fresh rest through the new length
+                y = rest @ self.right
+                w = np.clip((self._pt_exp(t_new) * y) @ self.left, 0.0, None)
+                mxw = np.maximum(w.max(axis=1), _TINY)
+                self.W[i] = w / mxw[:, None]
+                self.sW[i] = sc + np.log(mxw)
+            # refresh upward partials (U/M unchanged mid-round only for
+            # unprocessed children; after the round everything moves)
             self._up_pass()
             self._down_pass()
 

@@ -147,3 +147,19 @@ def test_branch_length_optimization_improves():
     # oracle agreement after optimization
     want = log_likelihood(aln, eng.root, m)
     assert abs(after - want) < 1e-6 * abs(want)
+
+
+def test_branch_length_rounds_are_monotone():
+    """Each optimize_lengths round must not decrease the likelihood (the
+    postorder version's stale coefficients oscillated across rounds —
+    round-4 grid probe)."""
+    aln, nwk = _case(7, n=10, L=60)
+    m = get_model("LG")
+    eng = EdgeEngine(aln, m)
+    eng.set_tree(_unroot(parse_newick(nwk)))
+    prev = eng.log_likelihood()
+    for _ in range(4):
+        eng.optimize_lengths(rounds=1)
+        cur = eng.log_likelihood()
+        assert cur >= prev - 1e-6, (cur, prev)
+        prev = cur

@@ -110,7 +110,7 @@ def run_method(method, length_dir, out_dir, args, rec):
             start = baselines.hamming_fastme_tree(aln)
             with rec.stage("ml_refine", method, p.stem):
                 nwk, _ = baselines.ml_refine(
-                    aln, start, spr=True, cat_categories=4,
+                    aln, start, spr=True, cat_categories=16,
                     max_sweeps=args.ml_refine_sweeps,
                 )
             (tree_dir / f"{p.stem}.nwk").write_text(nwk + "\n")
@@ -188,7 +188,7 @@ def main(argv=None) -> int:
                          "directional-partial engine runs 100 tips in ~1 "
                          "min); skipped MSAs are listed")
     ap.add_argument("--ml-fastme-max-tips", type=int, default=1000)
-    ap.add_argument("--ml-refine-sweeps", type=int, default=2)
+    ap.add_argument("--ml-refine-sweeps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args(argv)
