@@ -21,6 +21,28 @@ def test_drift_grid_small_corner():
     assert ok, msg
 
 
+def test_engine_selection_covers_largest_corner():
+    """(200, 1000) must route both fast and oracle through the pipeline
+    with bfloat16 storage (the single-chip-feasible configuration); fp32
+    corners keep fp32 storage and the XLA fp32 oracle where it fits."""
+    import jax
+
+    from phyloformer_tpu.bench.accuracy import DEFAULT_GRID, make_engines
+    from phyloformer_tpu.models.params import PhyloformerConfig, init_params
+
+    cfg = PhyloformerConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert (200, 1000) in DEFAULT_GRID
+    want = {(50, 250): ("xla_fp32", "float32"),
+            (100, 1000): ("xla_fp32", "float32"),
+            (200, 250): ("fused_highest", "float32"),
+            (200, 1000): ("fused_highest_bf16", "bfloat16")}
+    for (n, l), (oname, act) in want.items():
+        fast, _oracle, name = make_engines(params, cfg, n, l)
+        assert name == oname, (n, l, name)
+        assert fast.icfg.pipeline_act_dtype == act, (n, l)
+
+
 def test_check_rows_flags_errors_and_gate():
     ok, msg = check_rows([{"n": 1, "L": 2, "error": "boom"}], 1.0)
     assert not ok and "boom" in msg
