@@ -284,7 +284,10 @@ def _pipeline_tiles(b: int, p: int, l: int, d: int, highest: bool,
     # loads plus the concatenation materialize separately.
     pt0 = env("PF_PIPE_PT0", pick(26, 2 * emb_bytes + stats_bytes))
     ptm = env("PF_PIPE_PTM", pick(18, 2 * stats_bytes))
-    ptz = env("PF_PIPE_PTZ", pick(10, stats_bytes))
+    # kernel Z carries the full kernel-B live set (FFN hidden = 4 rows) +
+    # the head; pt=16 measured 21.4M scoped with pre-expanded weights
+    # (round-4 bench compile) — 16 rows lands it on pt=8, which compiles
+    ptz = env("PF_PIPE_PTZ", pick(16, stats_bytes))
     pt_pad = max(pt0, ptm, ptz)
     return pt0, ptm, ptz, pt_pad
 
