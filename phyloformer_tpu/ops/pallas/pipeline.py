@@ -409,11 +409,19 @@ def forward_fused_pipeline(
         )(emb, ii, jj, site_mask3, pair_mask4, *a0)
     else:
         # XLA gather fallback: materialize the pair tensor once (storage
-        # dtype) and run plain kernel A on it
-        x0 = (jnp.take(emb, jnp.asarray(i_idx), axis=1)
-              + jnp.take(emb, jnp.asarray(j_idx), axis=1)).astype(act_dtype)
+        # dtype) and run plain kernel A on it.  The embedding is cast
+        # BEFORE the gathers so the two take() intermediates are storage-
+        # width (fp32 takes at (200, 1000) cost 2 x 5.2 GB transients —
+        # the round-4 HBM-OOM at that corner).
+        emb_s = emb.astype(act_dtype)
+        x0 = (jnp.take(emb_s, jnp.asarray(i_idx), axis=1)
+              + jnp.take(emb_s, jnp.asarray(j_idx), axis=1))
         if p_pad != p:
             x0 = jnp.pad(x0, ((0, 0), (0, p_pad - p), (0, 0), (0, 0)))
+        # x0 aliases into x1: each grid step reads its tile once then
+        # writes the same tile slot, so in-place is exact — and the whole
+        # pipeline then flows through ONE (B, P, L, d) buffer instead of
+        # one per dispatch (XLA does not reuse pallas outputs otherwise).
         x1, stats = pl.pallas_call(
             functools.partial(_kernel_a_only, n_heads=n_heads, eps=eps,
                               prec=prec, interpret=interpret),
@@ -422,6 +430,7 @@ def forward_fused_pipeline(
             + [full] * len(a0),
             out_specs=(tile(ptm), stats_spec),
             out_shape=(x1_shape, stats_shape),
+            input_output_aliases={0: 0},
             interpret=interpret,
         )(x0, site_mask3, pair_mask4, *a0)
 
@@ -437,6 +446,9 @@ def forward_fused_pipeline(
                       smem] + [full] * len(m_params),
             out_specs=(tile(ptm), stats_spec),
             out_shape=(x1_shape, stats_shape),
+            # x1 in-place (read-then-write per tile; stats must NOT alias:
+            # later grid steps still read the incoming stats)
+            input_output_aliases={0: 0},
             interpret=interpret,
         )(x1, stats, site_mask3, pair_mask4, pair_count, *m_params)
 
