@@ -93,6 +93,14 @@ def main():
     use_pipeline = {"1": True, "0": False}.get(
         os.environ.get("PF_BENCH_PIPELINE", ""), None)
     act_dtype = os.environ.get("PF_BENCH_ACT_DTYPE", "float32")
+    # FFN activation for the pipelined kernels.  Round-5 probe (same chip,
+    # same shape, D2H-synced): exact-erf 215.7 ms/call, tanh 191.3, relu
+    # (free-activation floor) 191.9 — the tanh approximation captures the
+    # ENTIRE GELU share of the VPU budget while measuring 3.78e-3 vs the
+    # torch fp32 goldens, inside the end-metric-calibrated 6e-3 gate below
+    # (and KF re-verified 0.3337 on the full testdata pipeline, round 5).
+    # PF_BENCH_GELU=exact restores the reference-exact erf path.
+    gelu = os.environ.get("PF_BENCH_GELU", "tanh")
     # Single (60, 256) bucket: the 40-tip gate MSAs pad into the same shape
     # the throughput run uses, so the whole bench compiles exactly once.
     fast_engine = InferenceEngine(
@@ -109,6 +117,7 @@ def main():
             use_pallas=use_pallas,
             use_pipeline=use_pipeline,
             pipeline_act_dtype=act_dtype,
+            pipeline_gelu=gelu,
             n_buckets=(N_TIPS,),
             l_buckets=(256,),
         ),

@@ -54,6 +54,11 @@ class InferenceConfig:
     # ("float32" | "bfloat16").  Compute stays fp32 in-register; bfloat16
     # halves HBM traffic/residency (what makes (200, 1000) single-chip).
     pipeline_act_dtype: str = "float32"
+    # FFN GELU variant on the pipelined path ("exact" | "tanh" | "sigmoid").
+    # "exact" matches the reference's erf GELU; "tanh" cuts the dominant VPU
+    # term of the merged kernels (~+17% headline throughput, round-5 probe)
+    # and is gated end-to-end by bench.py's end-metric-calibrated gate.
+    pipeline_gelu: str = "exact"
     allow_oversize: bool = True  # n/L beyond last bucket: exact-shape fallback
     # Round device batch sizes up to powers of two (padding rows are fully
     # masked no-ops).  Bounds jit retraces to log2(max_batch_size) per bucket
@@ -136,6 +141,7 @@ class InferenceEngine:
                         n_heads=cfg.n_heads, eps=cfg.ln_eps,
                         interpret=interpret, mxu_precision=mxu,
                         act_dtype_name=self.icfg.pipeline_act_dtype,
+                        gelu_mode=self.icfg.pipeline_gelu,
                     )
                 elif use_pallas:
                     from ..models.phyloformer import forward_fused

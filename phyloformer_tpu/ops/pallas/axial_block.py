@@ -62,6 +62,36 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _gelu_tanh(x):
+    # torch.nn.GELU(approximate='tanh') form (|err| vs exact <= ~1e-3 abs):
+    # 0.5 x (1 + tanh(sqrt(2/pi) (x + 0.044715 x^3))).  tanh lowers natively
+    # in Mosaic; ~6 VPU ops vs the rational-erf path's ~13 (reciprocal +
+    # 5-term poly + exp + sign/abs/select) — the measured-cheaper variant
+    # for the VPU-bound inference pipeline (see docs/performance.md round 5).
+    inner = 0.7978845608028654 * (x + 0.044715 * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(inner))
+
+
+def _gelu_sigmoid(x):
+    # x * sigmoid(1.702 x) (Hendrycks & Gimpel) — cheapest (~4 VPU ops),
+    # |err| vs exact up to ~2e-2 abs; probe-only unless the end-metric
+    # accuracy gate stays green.
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_GELU_FNS = {
+    "exact": _gelu_exact,
+    "tanh": _gelu_tanh,
+    "sigmoid": _gelu_sigmoid,
+    # upper-bound probe: how fast would the kernel be with a free activation
+    "relu": lambda x: jnp.maximum(x, 0.0),
+}
+
+
+def _gelu(x, mode: str = "exact"):
+    return _GELU_FNS[mode](x)
+
+
 def _phi(x):
     # elu(x) + 1 without expm1 (unsupported in Pallas TPU lowering):
     # x > 0: x + 1;  x <= 0: (exp(x) - 1) + 1 = exp(x).
@@ -191,7 +221,8 @@ def _body_col_stats(x1, pmask, cp, hd, eps, prec, interpret):
     )  # (L, 3d)
 
 
-def _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret):
+def _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret,
+            gelu: str = "exact"):
     """Column attention finalized from the global stats + fused FFN: x3.
 
     ``bp = (cn_s, cn_b, cwq, cbq, cwo, cbo, fn_s, fn_b, fw1, fb1, fw2,
@@ -214,7 +245,7 @@ def _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret):
     x2 = x1 + _mm_b(attn, cwo, cbo, prec)
 
     h = _ln(x2, fn_s, fn_b, eps)
-    f = _gelu_exact(_mm_b(h, fw1, fb1, prec))
+    f = _gelu(_mm_b(h, fw1, fb1, prec), gelu)
     return x2 + _mm_b(f, fw2, fb2, prec)
 
 

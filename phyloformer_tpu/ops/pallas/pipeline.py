@@ -176,7 +176,7 @@ def _kernel_a_only(
 def _kernel_m(
     x1_ref, stats_ref, site_mask_ref, pair_mask_ref, pair_count_ref,
     *refs,
-    n_heads: int, eps: float, prec, interpret: bool,
+    n_heads: int, eps: float, prec, interpret: bool, gelu: str = "exact",
 ):
     """Merged block boundary: kernel B of block i + kernel A of block i+1.
 
@@ -195,7 +195,7 @@ def _kernel_m(
     pmask = pair_mask_ref[0].astype(jnp.float32)
     n_pairs = jnp.maximum(pair_count_ref[pl.program_id(0), 0], 1.0)
 
-    x3 = _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret)
+    x3 = _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret, gelu)
     x1n = _body_row_attn(x3, smask, rp, hd, eps, prec, interpret)
     x1n_store = x1n.astype(x1n_ref.dtype)
     x1n_ref[0] = x1n_store
@@ -214,7 +214,7 @@ def _kernel_m(
 def _kernel_z(
     x1_ref, stats_ref, site_mask_ref, pair_count_ref,
     *refs,
-    n_heads: int, eps: float, prec, interpret: bool,
+    n_heads: int, eps: float, prec, interpret: bool, gelu: str = "exact",
 ):
     """Final block's kernel B + softplus head + masked site-mean.
 
@@ -230,7 +230,7 @@ def _kernel_z(
     smask = site_mask_ref[0].astype(jnp.float32)  # (L, 1)
     n_pairs = jnp.maximum(pair_count_ref[pl.program_id(0), 0], 1.0)
 
-    x3 = _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret)
+    x3 = _body_b(x1, stats, n_pairs, bp, hd, eps, prec, interpret, gelu)
     # head: (Pt·L, d) @ (d, 1) + b  — HIGHEST so storage dtype stays the
     # only sub-fp32 rounding on this path
     h = _mm_b(x3, hw_ref[:], hb_ref[:], jax.lax.Precision.HIGHEST)
@@ -245,7 +245,7 @@ _VMEM_MARGIN = int(1.5 * 1024 * 1024)
 
 
 def _pipeline_tiles(b: int, p: int, l: int, d: int, highest: bool,
-                    emb_bytes: int):
+                    emb_bytes: int, overrides=(0, 0, 0)):
     """Per-kernel pair tiles + one shared pair padding.
 
     The scoped-VMEM fit is per *kernel*, so each stage gets its own tile;
@@ -261,8 +261,6 @@ def _pipeline_tiles(b: int, p: int, l: int, d: int, highest: bool,
     body measures ~7 live rows + 4 rows of double-buffered in/out tiles;
     kernel B adds ~7 more (its FFN hidden ``f`` is 4d wide = 4 rows).
     """
-    import os as _os
-
     stats_bytes = b * l * 3 * d * 4
     row = l * d * 4
 
@@ -273,30 +271,32 @@ def _pipeline_tiles(b: int, p: int, l: int, d: int, highest: bool,
         pt = 1 << (pt.bit_length() - 1)  # power of two
         return max(1, pt // 2) if highest else pt
 
-    def env(name: str, auto: int) -> int:
-        v = int(_os.environ.get(name, "0"))
-        if v < 0 or (v & (v - 1)):
-            raise ValueError(f"{name}={v}: must be 0 (auto) or a power of two")
+    def pin(v: int, auto: int) -> int:
         return v or auto
 
+    o0, om, oz = overrides
     # P0's unrolled gather slices + concat measured ~25 row-equivalents on
     # chip at pt=4 (vs kernel A's ~11): each of the 2·pt dynamic (1, L, d)
     # loads plus the concatenation materialize separately.
-    pt0 = env("PF_PIPE_PT0", pick(26, 2 * emb_bytes + stats_bytes))
-    ptm = env("PF_PIPE_PTM", pick(18, 2 * stats_bytes))
+    pt0 = pin(o0, pick(26, 2 * emb_bytes + stats_bytes))
+    ptm = pin(om, pick(18, 2 * stats_bytes))
     # kernel Z carries the full kernel-B live set (FFN hidden = 4 rows) +
     # the head; pt=16 measured 21.4M scoped with pre-expanded weights
     # (round-4 bench compile) — 16 rows lands it on pt=8, which compiles
-    ptz = env("PF_PIPE_PTZ", pick(16, stats_bytes))
+    ptz = pin(oz, pick(16, stats_bytes))
     pt_pad = max(pt0, ptm, ptz)
     return pt0, ptm, ptz, pt_pad
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_heads", "eps", "interpret", "mxu_precision",
-                     "act_dtype_name", "n_seqs"),
-)
+def _env_pt(name: str) -> int:
+    import os
+
+    v = int(os.environ.get(name, "0"))
+    if v < 0 or (v & (v - 1)):
+        raise ValueError(f"{name}={v}: must be 0 (auto) or a power of two")
+    return v
+
+
 def forward_fused_pipeline(
     params: Dict[str, Any],
     codes: jax.Array,
@@ -308,6 +308,7 @@ def forward_fused_pipeline(
     interpret: bool = False,
     mxu_precision: str = "default",
     act_dtype_name: str = "float32",
+    gelu_mode: str = "exact",
 ) -> jax.Array:
     """Full Phyloformer forward through the pipelined kernels.
 
@@ -317,10 +318,55 @@ def forward_fused_pipeline(
       site_mask: ``(B, L)`` bool. seq_mask: ``(B, n)`` bool.
       act_dtype_name: storage dtype of the inter-kernel activations
         ("float32" | "bfloat16").  Compute is fp32 in-register either way.
+      gelu_mode: FFN activation variant ("exact" | "tanh" | "sigmoid" |
+        "relu").  "exact" (default) matches the reference's erf GELU
+        (`/root/reference/phyloformer/model.py:69-85`); "tanh" is the
+        torch-style approximation — fewer VPU transcendentals on the
+        VPU-bound merged kernels, gated end-to-end by the bench accuracy
+        gate (see bench.py / docs/performance.md round 5).
 
     Returns:
       ``(B, P)`` distances, P = n(n-1)/2 (upper-triangle order).
+
+    This thin wrapper reads the probe env knobs (PF_PIPE_GATHER,
+    PF_PIPE_NO_PREEXPAND, PF_PIPE_PT0/PTM/PTZ) *outside* the jit trace and
+    passes them as static arguments, so changing them in-process after a
+    shape has compiled takes effect (they are part of the jit cache key).
     """
+    import os
+
+    env_opts = (
+        os.environ.get("PF_PIPE_GATHER") == "1",
+        os.environ.get("PF_PIPE_NO_PREEXPAND") == "1",
+        _env_pt("PF_PIPE_PT0"), _env_pt("PF_PIPE_PTM"), _env_pt("PF_PIPE_PTZ"),
+    )
+    return _forward_pipeline_jit(
+        params, codes, n_seqs, site_mask, seq_mask, n_heads=n_heads, eps=eps,
+        interpret=interpret, mxu_precision=mxu_precision,
+        act_dtype_name=act_dtype_name, gelu_mode=gelu_mode,
+        env_opts=env_opts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "eps", "interpret", "mxu_precision",
+                     "act_dtype_name", "n_seqs", "gelu_mode", "env_opts"),
+)
+def _forward_pipeline_jit(
+    params: Dict[str, Any],
+    codes: jax.Array,
+    n_seqs: int,
+    site_mask: jax.Array,
+    seq_mask: jax.Array,
+    n_heads: int,
+    eps: float,
+    interpret: bool,
+    mxu_precision: str,
+    act_dtype_name: str,
+    gelu_mode: str,
+    env_opts,
+) -> jax.Array:
+    use_gather_env, no_preexpand, o_pt0, o_ptm, o_ptz = env_opts
     prec = (
         jax.lax.Precision.HIGHEST
         if mxu_precision.lower() in ("highest", "float32")
@@ -343,7 +389,8 @@ def forward_fused_pipeline(
 
     emb_bytes = n * l * d * 4
     pt0, ptm, ptz, pt_pad = _pipeline_tiles(
-        b, p, l, d, prec == jax.lax.Precision.HIGHEST, emb_bytes)
+        b, p, l, d, prec == jax.lax.Precision.HIGHEST, emb_bytes,
+        overrides=(o_pt0, o_ptm, o_ptz))
     p_pad = -(-p // pt_pad) * pt_pad
     if p_pad != p:
         pair_mask = jnp.pad(pair_mask, ((0, 0), (0, p_pad - p)))
@@ -371,10 +418,8 @@ def forward_fused_pipeline(
     # head-expansion MXU passes per merged kernel (φ commutes with
     # repetition — exact).  PF_PIPE_NO_PREEXPAND=1 restores the 3-pass
     # form for A/B probing.
-    import os as _os2
-
     layers = params["layers"]
-    if _os2.environ.get("PF_PIPE_NO_PREEXPAND") != "1":
+    if not no_preexpand:
         layers = [expand_qk_weights(ly) for ly in layers]
     x1_shape = jax.ShapeDtypeStruct((b, p_pad, l, d), act_dtype)
     stats_shape = jax.ShapeDtypeStruct((b, l, 3 * d), jnp.float32)
@@ -388,10 +433,8 @@ def forward_fused_pipeline(
     # 16.07M scoped at pt=4 where the block math says ~11M), so the
     # XLA-gather head currently compiles where this doesn't.
     # PF_PIPE_GATHER=1 re-enables for probing.
-    import os as _os
-
     use_gather = (emb_bytes <= _P0_EMB_BUDGET_BYTES and p_pad <= 8192
-                  and (interpret or _os.environ.get("PF_PIPE_GATHER") == "1"))
+                  and (interpret or use_gather_env))
     if use_gather:
         ii = jnp.zeros((1, p_pad), jnp.int32).at[0, :p].set(jnp.asarray(i_idx))
         jj = jnp.zeros((1, p_pad), jnp.int32).at[0, :p].set(jnp.asarray(j_idx))
@@ -440,7 +483,8 @@ def forward_fused_pipeline(
                     + list(_col_params(layers[i + 1])))
         x1, stats = pl.pallas_call(
             functools.partial(_kernel_m, n_heads=n_heads, eps=eps,
-                              prec=prec, interpret=interpret),
+                              prec=prec, interpret=interpret,
+                              gelu=gelu_mode),
             grid=(b, p_pad // ptm),
             in_specs=[tile(ptm), stats_spec, smask_spec, pmask_spec(ptm),
                       smem] + [full] * len(m_params),
@@ -457,7 +501,7 @@ def forward_fused_pipeline(
                                               params["head"]["b"]]
     out = pl.pallas_call(
         functools.partial(_kernel_z, n_heads=n_heads, eps=eps, prec=prec,
-                          interpret=interpret),
+                          interpret=interpret, gelu=gelu_mode),
         grid=(b, p_pad // ptz),
         in_specs=[tile(ptz), stats_spec, smask_spec, smem]
         + [full] * len(z_params),

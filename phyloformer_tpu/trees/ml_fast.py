@@ -108,8 +108,10 @@ class EdgeEngine:
         self._down_pass()
 
     def _pt_exp(self, t: float) -> np.ndarray:
-        """e^{λ_s · t · r_l}: (L, S)."""
-        return np.exp(np.outer(self.t_rates(t), self.lam))
+        """e^{λ_s · t · r_l}: (L, S).  Broadcast, not np.outer — this runs
+        tens of thousands of times per refine and outer's ravel/reshape
+        overhead measured ~15% of the whole wall clock at 100 tips."""
+        return np.exp(self.rates[:, None] * (t * self.lam)[None, :])
 
     def t_rates(self, t: float) -> np.ndarray:
         return t * self.rates
@@ -305,6 +307,12 @@ class EdgeEngine:
             # pp is M'[p] = P(t_joined) @ U[sib]
             targets += self._walk_up(p, si, t_joined, radius)
             for (ti, above, sc_above, below, sc_below, t_split) in targets:
+                if ti == si:
+                    # regrafting onto the contracted edge reproduces the
+                    # current topology — its "gain" is only the implicit
+                    # halving of the split (a branch-length change blopt
+                    # makes anyway), so it must not compete with real moves
+                    continue
                 t1 = 0.5 * t_split
                 # regraft S with its original branch length t[i]
                 ms = np.clip(self._message(self.U[i], self.t[i]), 0.0, None)
@@ -412,6 +420,29 @@ class EdgeEngine:
             depth += 1
         return res
 
+    def neighborhood_ids(self, seeds, radius: int):
+        """Node indices within ``radius`` edges of any seed (over the
+        parent/child graph).  Used by the batched-apply refine loop to
+        detect conflicting moves: two moves whose neighborhoods overlap
+        may invalidate each other's cached gains."""
+        seen = set(seeds)
+        frontier = list(seeds)
+        for _ in range(radius):
+            nxt = []
+            for i in frontier:
+                nd = self.nodes[i]
+                # .get: mid-batch the tree may hold freshly spliced nodes
+                # not in idx (their whole vicinity is already dirty)
+                nbrs = [self.idx.get(id(c)) for c in nd.children]
+                if self.parent[i] >= 0:
+                    nbrs.append(self.parent[i])
+                for j in nbrs:
+                    if j is not None and j not in seen:
+                        seen.add(j)
+                        nxt.append(j)
+            frontier = nxt
+        return seen
+
     def apply_spr(self, prune_idx: int, target_idx: int) -> Node:
         """Prune subtree at ``prune_idx`` and regraft onto the edge above
         ``target_idx`` (splitting it in half), contracting the old parent.
@@ -425,9 +456,9 @@ class EdgeEngine:
         gp.children[gp.children.index(pn)] = sib
         sib.parent = gp
         pn.children = []
+        # note: target == sib would regraft onto the contracted edge
+        # (topology-identical no-op) — spr_candidates filters it out
         target = self.nodes[target_idx]
-        if target is sib and target.parent is gp:
-            pass  # regrafting onto the contracted edge = original position
         tp = target.parent
         new = Node(name="", length=(target.length or 0.0) * 0.5)
         target.length = (target.length or 0.0) * 0.5
@@ -440,16 +471,21 @@ class EdgeEngine:
 
     # -- branch lengths ------------------------------------------------------
     def optimize_lengths(self, rounds: int = 1, max_t: float = 10.0) -> None:
-        """Per-edge 1-D optimization in eigenspace, exact at every step.
+        """Per-edge 1-D optimization in eigenspace.
 
         Preorder sweep with the rest-partial refreshed immediately before
         each edge: parents are optimized before children (so U below is
         current) and the rest above is rebuilt from the just-updated W of
-        the parent and the CURRENT sibling messages — every golden search
-        therefore maximizes the true likelihood of the current tree, and
-        each round is monotone.  (The earlier postorder version used the
-        start-of-round W; its stale coefficients made whole rounds
-        non-monotone — caught by the round-4 grid probe.)
+        the parent and the sibling messages.  Monotone up to stale-sibling
+        partials: an earlier-processed sibling's M is rebuilt from its
+        round-start U, so after that sibling's *subtree* lengths move,
+        later edges at the same parent optimize against slightly stale
+        coefficients (the keep-current-length guard evaluates both
+        candidates with the same coefficients, so regressions are bounded
+        by the staleness, not the search).  A full up/down refresh runs
+        between rounds.  (The earlier postorder version used the
+        start-of-round W everywhere; those much-staler coefficients made
+        whole rounds non-monotone — caught by the round-4 grid probe.)
 
         Coefficients once per edge (2 einsums), O(L·S) per evaluation.
         Updates Node lengths in place and leaves all partials fresh."""
@@ -480,23 +516,32 @@ class EdgeEngine:
                 # a_{l,s} = (above R)_s (Lᵀ U)_s ; f_l(t) = Σ_s a e^{λ t r_l}
                 a = (rest @ self.right) * (self.U[i] @ self.left.T)
 
+                rates_col = self.rates[:, None]
+
                 def ll(t):
                     site = np.maximum(
-                        np.sum(a * np.exp(np.outer(self.t_rates(t), self.lam)),
+                        np.sum(a * np.exp(rates_col * (t * self.lam)[None, :]),
                                axis=1), _TINY)
                     return float(np.sum(np.log(site)))
 
                 # keep the current length when the search can't beat it
-                # (golden section assumes unimodality; guard regressions)
+                # (golden section assumes unimodality; guard regressions).
+                # Standard one-eval-per-iteration reuse: ~26 ll() calls
+                # instead of 48 for the same bracket shrinkage.
                 t_cur = max(self.t[i], 1e-6)
                 lo, hi = 1e-6, max_t
-                for _ in range(24):
-                    m1 = hi - gr * (hi - lo)
-                    m2 = lo + gr * (hi - lo)
-                    if ll(m1) > ll(m2):
-                        hi = m2
+                m1 = hi - gr * (hi - lo)
+                m2 = lo + gr * (hi - lo)
+                f1, f2 = ll(m1), ll(m2)
+                for _ in range(23):
+                    if f1 > f2:
+                        hi, m2, f2 = m2, m1, f1
+                        m1 = hi - gr * (hi - lo)
+                        f1 = ll(m1)
                     else:
-                        lo = m1
+                        lo, m1, f1 = m1, m2, f2
+                        m2 = lo + gr * (hi - lo)
+                        f2 = ll(m2)
                 t_new = 0.5 * (lo + hi)
                 if ll(t_new) < ll(t_cur):
                     t_new = t_cur
@@ -527,13 +572,20 @@ def ml_refine_fast(
     spr: bool = True,
     spr_radius: int = 5,
     optimize_lengths: bool = True,
+    batch_moves: bool = True,
 ) -> Tuple[str, float]:
     """FastTree-class refinement via :class:`EdgeEngine`.
 
-    Steepest-ascent sweeps: score ALL NNI (and SPR) candidates, apply the
-    best, recompute, repeat; branch lengths re-optimized once per sweep.
-    With ``cat_categories > 0`` the per-site CAT rates are re-estimated
-    each sweep on the current tree (FastTree -cat semantics).
+    Sweeps of candidate scans with batched best-first applies (round 5):
+    every positive-gain move whose radius-2 neighborhood doesn't conflict
+    with an already-applied move is applied from ONE scan, the tree is
+    rebuilt once, and the net ll verified (rollback + single-best retry on
+    regression) — this is what turned 100-tip refinement from ~32 s into
+    ~4 s (docs/performance.md round 5).  ``batch_moves=False`` restores
+    one-move-per-scan steepest ascent (regression escape hatch).  Branch
+    lengths re-optimized once per sweep.  With ``cat_categories > 0`` the
+    per-site CAT rates are re-estimated each sweep on the current tree
+    (FastTree -cat semantics).
     """
     m = get_model(model)
     root = _unroot(parse_newick(start_nwk))
@@ -550,31 +602,72 @@ def ml_refine_fast(
         eng = EdgeEngine(aln, m, rates[cat_of_site])
         eng.set_tree(root)
 
+    def batch_apply(cands, apply_one, region_of):
+        """Best-first batched applies from ONE candidate scan (the same
+        batching the native BME toolkit uses for its SPR sweep, round-5):
+        moves are applied in descending gain order, skipping any whose
+        neighborhood overlaps an already-applied move's, then the tree is
+        rebuilt ONCE and the net ll verified.  Gains of non-conflicting
+        moves are computed from slightly stale partials (second-order in
+        the applied moves' perturbations), so the net check + rollback is
+        what guarantees monotonicity; on a failed multi-move batch, the
+        single best move (whose gain IS exact) is retried alone.
+
+        Returns True if the tree improved."""
+        cands.sort(reverse=True)
+        before = eng.log_likelihood()
+        snapshot = eng.root.to_newick()
+        dirty = set()
+        n_applied = 0
+        for cand in cands:
+            if n_applied and not batch_moves:
+                break
+            region = region_of(cand)
+            if region & dirty:
+                continue
+            apply_one(cand)
+            dirty |= region
+            n_applied += 1
+        eng.set_tree(eng.root)
+        if eng.log_likelihood() > before + 1e-9:
+            return True
+        # net regression (stale-gain conflict beyond the neighborhood
+        # radius): roll back; retry the exact-gain best move alone
+        eng.set_tree(_unroot(parse_newick(snapshot)))
+        if n_applied <= 1:
+            return False  # the exact best move failed = numerical tie
+        apply_one(cands[0])
+        eng.set_tree(eng.root)
+        if eng.log_likelihood() > before + 1e-9:
+            return True
+        eng.set_tree(_unroot(parse_newick(snapshot)))
+        return False
+
     for _ in range(max_sweeps):
         improved = False
-        # NNI to local optimum
+        # NNI to local optimum (batched best-first applies per scan)
         while True:
             gains = eng.nni_gains()
             if not gains:
                 break
-            _, i, alt = max(gains)
-            eng.apply_nni(i, alt)
-            eng.set_tree(eng.root)
+            if not batch_apply(
+                gains,
+                lambda c: eng.apply_nni(c[1], c[2]),
+                lambda c: eng.neighborhood_ids({c[1], eng.parent[c[1]]}, 2),
+            ):
+                break
             improved = True
         if spr:
             while True:
                 cands = eng.spr_candidates(spr_radius)
                 if not cands:
                     break
-                gain, pi_, ti = max(cands)
-                before = eng.log_likelihood()
-                snapshot = eng.root.to_newick()
-                root = eng.apply_spr(pi_, ti)
-                eng.set_tree(root)
-                # exact re-verification; the candidate scores are exact ll
-                # differences, so this should only trip on numerical ties
-                if eng.log_likelihood() <= before + 1e-9:
-                    eng.set_tree(_unroot(parse_newick(snapshot)))
+                if not batch_apply(
+                    cands,
+                    lambda c: eng.apply_spr(c[1], c[2]),
+                    lambda c: eng.neighborhood_ids(
+                        {c[1], eng.parent[c[1]], c[2]}, 2),
+                ):
                     break
                 improved = True
         if optimize_lengths:

@@ -127,10 +127,12 @@ def test_refine_fast_improves_and_beats_slow():
     assert (sorted(n.name for n in parse_newick(out_nwk).leaves())
             == sorted(aln.ids))
     # quality >= the first-generation slow refiner on the same inputs
+    # (engine="slow" explicitly — ml_refine routes to the fast engine by
+    # default, which would compare the fast engine against itself)
     from phyloformer_tpu.trees.baselines import ml_refine
 
     _, slow_ll = ml_refine(aln, nwk, max_sweeps=1, spr=False,
-                           optimize_lengths=True)
+                           optimize_lengths=True, engine="slow")
     assert ll >= slow_ll - 1e-6, (ll, slow_ll)
 
 
@@ -163,3 +165,20 @@ def test_branch_length_rounds_are_monotone():
         cur = eng.log_likelihood()
         assert cur >= prev - 1e-6, (cur, prev)
         prev = cur
+
+
+def test_batched_moves_match_single_move_quality():
+    """Round-5 batched best-first applies: per-batch net-ll verification
+    keeps the climb monotone, and the final likelihood lands within a
+    small relative margin of one-move-per-scan steepest ascent (the two
+    are different hill-climb paths, so exact equality is not expected —
+    on the 100-tip grid case batching actually finishes BETTER, see
+    docs/performance.md round 5)."""
+    aln, nwk = _case(11, n=12, L=40)
+    start_ll = log_likelihood(aln, _unroot(parse_newick(nwk)), get_model("LG"))
+    _, ll_batched = ml_refine_fast(aln, nwk, max_sweeps=2, spr_radius=3)
+    _, ll_single = ml_refine_fast(aln, nwk, max_sweeps=2, spr_radius=3,
+                                  batch_moves=False)
+    assert ll_batched > start_ll
+    assert ll_batched >= ll_single - 1e-3 * abs(ll_single), (
+        ll_batched, ll_single)

@@ -99,16 +99,63 @@ def test_pipeline_xla_gather_fallback(monkeypatch):
 
     with_gather = forward_fused_pipeline(*args, **kw)
     monkeypatch.setattr(pipe, "_P0_EMB_BUDGET_BYTES", 0)
-    # jit caches on static args only — clear so the budget branch re-traces
-    pipe.forward_fused_pipeline._clear_cache()
+    # the budget module constant is read at trace time and is not part of
+    # the jit cache key — clear so the budget branch re-traces (the env
+    # knobs PF_PIPE_* by contrast ARE static args since round 5)
+    pipe._forward_pipeline_jit._clear_cache()
     without = forward_fused_pipeline(*args, **kw)
-    pipe.forward_fused_pipeline._clear_cache()
+    pipe._forward_pipeline_jit._clear_cache()
 
     from phyloformer_tpu.models.phyloformer import pair_mask_from_seq_mask
 
     pm = np.asarray(pair_mask_from_seq_mask(jnp.asarray(seq_mask),
                                             codes.shape[1]))
     err = np.abs(np.asarray(with_gather) - np.asarray(without))[pm].max()
+    assert err < 1e-5, err
+
+
+def test_pipeline_gelu_variants():
+    """gelu_mode is a real static arg: "tanh" tracks the exact-erf forward
+    within the known approximation bound; "exact" is the default."""
+    cfg = PhyloformerConfig(n_blocks=2, matmul_precision="float32")
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    codes, site_mask, seq_mask = _random_case(5)
+    args = (params, jnp.asarray(codes), codes.shape[1],
+            jnp.asarray(site_mask), jnp.asarray(seq_mask))
+    kw = dict(n_heads=cfg.n_heads, eps=cfg.ln_eps, interpret=True,
+              mxu_precision="highest", act_dtype_name="float32")
+
+    exact = forward_fused_pipeline(*args, **kw, gelu_mode="exact")
+    tanh = forward_fused_pipeline(*args, **kw, gelu_mode="tanh")
+    from phyloformer_tpu.models.phyloformer import pair_mask_from_seq_mask
+
+    pm = np.asarray(pair_mask_from_seq_mask(jnp.asarray(seq_mask),
+                                            codes.shape[1]))
+    delta = np.abs(np.asarray(exact) - np.asarray(tanh))[pm]
+    assert delta.max() > 0  # distinct paths actually traced
+    assert delta.max() < 5e-3, delta.max()
+
+
+def test_pipeline_env_knobs_in_cache_key(monkeypatch):
+    """ADVICE r4: PF_PIPE_* must take effect without manual cache clears —
+    changing PF_PIPE_NO_PREEXPAND in-process re-traces (same output)."""
+    codes, site_mask, seq_mask = _random_case(6)
+    cfg = PhyloformerConfig(n_blocks=1, matmul_precision="float32")
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    args = (params, jnp.asarray(codes), codes.shape[1],
+            jnp.asarray(site_mask), jnp.asarray(seq_mask))
+    kw = dict(n_heads=cfg.n_heads, eps=cfg.ln_eps, interpret=True,
+              mxu_precision="highest", act_dtype_name="float32")
+
+    monkeypatch.delenv("PF_PIPE_NO_PREEXPAND", raising=False)
+    a = forward_fused_pipeline(*args, **kw)
+    monkeypatch.setenv("PF_PIPE_NO_PREEXPAND", "1")
+    b = forward_fused_pipeline(*args, **kw)
+    from phyloformer_tpu.models.phyloformer import pair_mask_from_seq_mask
+
+    pm = np.asarray(pair_mask_from_seq_mask(jnp.asarray(seq_mask),
+                                            codes.shape[1]))
+    err = np.abs(np.asarray(a) - np.asarray(b))[pm].max()
     assert err < 1e-5, err
 
 

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--precision", default="default",
                     help="kernel matmul passes: default|highest")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--gelu", default="exact",
+                    help="FFN activation: exact|tanh|sigmoid|relu")
     ap.add_argument("--goldens", action="store_true",
                     help="accuracy vs tests/goldens on real testdata")
     ap.add_argument("--old-path", action="store_true",
@@ -62,7 +64,7 @@ def main():
             return forward_fused_pipeline(
                 p, c, n, sm, qm, n_heads=cfg.n_heads, eps=cfg.ln_eps,
                 mxu_precision=args.precision,
-                act_dtype_name=args.act_dtype)
+                act_dtype_name=args.act_dtype, gelu_mode=args.gelu)
 
     jfn = jax.jit(fn)
     t0 = time.perf_counter()

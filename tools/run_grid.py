@@ -107,11 +107,15 @@ def run_method(method, length_dir, out_dir, args, rec):
             with rec.stage("distances", method, p.stem):
                 mat = baselines.ml_pairwise_distances(aln)
         elif method == "ml_refine":
-            start = baselines.hamming_fastme_tree(aln)
+            # start-tree build INSIDE the timed stage (round 5): the
+            # FastTree binary's timing includes its own NJ start, so ours
+            # must include the Hamming+FastME start for a fair wall clock
             with rec.stage("ml_refine", method, p.stem):
+                start = baselines.hamming_fastme_tree(aln)
                 nwk, _ = baselines.ml_refine(
                     aln, start, spr=True, cat_categories=16,
                     max_sweeps=args.ml_refine_sweeps,
+                    spr_radius=args.ml_refine_radius,
                 )
             (tree_dir / f"{p.stem}.nwk").write_text(nwk + "\n")
             continue
@@ -189,6 +193,9 @@ def main(argv=None) -> int:
                          "min); skipped MSAs are listed")
     ap.add_argument("--ml-fastme-max-tips", type=int, default=1000)
     ap.add_argument("--ml-refine-sweeps", type=int, default=3)
+    ap.add_argument("--ml-refine-radius", type=int, default=5,
+                    help="SPR walk radius (round 4 ran 3; the round-5 "
+                         "batched-apply engine makes 5 affordable)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args(argv)
