@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "~3e-5 distance error, faster)")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas TPU kernels")
+    parser.add_argument("--gelu", choices=["exact", "tanh"], default="exact",
+                        help="FFN activation on the pipelined Pallas path: "
+                             "exact = reference erf GELU; tanh = the "
+                             "measured-fast approximation (+13%% throughput, "
+                             "end-metric neutral — docs/performance.md r5)")
     parser.add_argument("--batch-tokens", type=int, default=1 << 22,
                         help="max pair-site tokens per device batch")
     parser.add_argument("--max-batch-size", type=int, default=64)
@@ -134,12 +139,14 @@ def main(argv=None) -> int:
         precision=args.precision,
         matmul_precision=args.matmul_precision,
         use_pallas=args.pallas,
+        pipeline_gelu=args.gelu,
     )
     if args.no_bucketing:
         icfg = InferenceConfig(
             n_buckets=(), l_buckets=(), allow_oversize=True,
             max_batch_tokens=args.batch_tokens, precision=args.precision,
             matmul_precision=args.matmul_precision, use_pallas=args.pallas,
+            pipeline_gelu=args.gelu,
         )
     if args.mesh_data is not None or args.mesh_pair > 1:
         from ..infer.engine import ShardedInferenceEngine

@@ -22,9 +22,11 @@ def test_drift_grid_small_corner():
 
 
 def test_engine_selection_covers_largest_corner():
-    """(200, 1000) must route both fast and oracle through the pipeline
-    with bfloat16 storage (the single-chip-feasible configuration); fp32
-    corners keep fp32 storage and the XLA fp32 oracle where it fits."""
+    """(200, 1000) must route the fast path through the pipeline with
+    bfloat16 storage and check it against the sequential P-chunked
+    full-fp32 oracle (round 5 — a genuine fp32-grade oracle at the bf16
+    corner); fp32 corners keep fp32 storage and the XLA fp32 oracle where
+    it fits."""
     import jax
 
     from phyloformer_tpu.bench.accuracy import DEFAULT_GRID, make_engines
@@ -36,7 +38,7 @@ def test_engine_selection_covers_largest_corner():
     want = {(50, 250): ("xla_fp32", "float32"),
             (100, 1000): ("xla_fp32", "float32"),
             (200, 250): ("fused_highest", "float32"),
-            (200, 1000): ("fused_highest_bf16", "bfloat16")}
+            (200, 1000): ("fp32_chunked", "bfloat16")}
     for (n, l), (oname, act) in want.items():
         fast, _oracle, name = make_engines(params, cfg, n, l)
         assert name == oname, (n, l, name)
