@@ -109,9 +109,15 @@ def run_method(method, length_dir, out_dir, args, rec):
         elif method == "ml_refine":
             # start-tree build INSIDE the timed stage (round 5): the
             # FastTree binary's timing includes its own NJ start, so ours
-            # must include the Hamming+FastME start for a fair wall clock
+            # must include the distance+FastME start for a fair wall clock
             with rec.stage("ml_refine", method, p.stem):
-                start = baselines.hamming_fastme_tree(aln)
+                if args.ml_refine_start == "ml":
+                    # per-pair ML distances under LG: a better-metric start
+                    # than poisson-Hamming (grid v2: ML_FastME nRF beats
+                    # Hamming_FastME at every length) for the same builder
+                    start = baselines.ml_fastme_tree(aln)
+                else:
+                    start = baselines.hamming_fastme_tree(aln)
                 nwk, _ = baselines.ml_refine(
                     aln, start, spr=True, cat_categories=16,
                     max_sweeps=args.ml_refine_sweeps,
@@ -196,6 +202,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ml-refine-radius", type=int, default=5,
                     help="SPR walk radius (round 4 ran 3; the round-5 "
                          "batched-apply engine makes 5 affordable)")
+    ap.add_argument("--ml-refine-start", choices=["hamming", "ml"],
+                    default="hamming",
+                    help="start-tree distances for ml_refine (built inside "
+                         "the timed stage)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args(argv)
