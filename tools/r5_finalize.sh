@@ -11,7 +11,8 @@ while ! grep -q "chain2 done" "$LOG" 2>/dev/null; do sleep 30; done
 echo "[chain2 done seen] $(date)"
 
 for leg in mre_r5 cherry_r5 indel_r5; do
-  if [ -d "runs/$leg/checkpoints_$leg" ]; then
+  # keep hand-picked (best-step) exports: only export when absent
+  if [ -d "runs/$leg/checkpoints_$leg" ] && [ ! -f "artifacts/pf_${leg}.ckpt" ]; then
     python -m phyloformer_tpu.io.cli export "runs/$leg/checkpoints_$leg" \
       "artifacts/pf_${leg}.ckpt" && echo "[exported $leg]"
   fi
